@@ -1,0 +1,140 @@
+"""Egs: fixed-size training chunks with context frames + numerator supervision.
+
+TPU-native equivalent of the reference's egs pipeline (upstream
+`steps/nnet3/chain/get_egs.sh`, driven from `train.py:364-391`): utterances
+are cut into chunks of ``chunk_width`` output frames; each chunk's input
+carries the model's left/right context (edge frames replicated at utterance
+boundaries, as Kaldi does) so the network's valid convolution produces
+exactly ``chunk_width`` subsampled outputs.  Supervision = per-chunk
+tolerance-masked numerator graphs (graphs/supervision.py).
+
+Everything is static-shape: [B, T_in, F] feature batches + stacked
+supervision arrays, ready for the jitted train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from tdnnf_nas_tpu.core.config import Config
+from tdnnf_nas_tpu.graphs.phone_lm import PhoneLM
+from tdnnf_nas_tpu.graphs.supervision import (
+    ChunkSupervision,
+    make_chunk_supervision,
+    stack_supervisions,
+)
+from tdnnf_nas_tpu.graphs.topology import ChainTopology
+
+
+@dataclasses.dataclass(frozen=True)
+class EgsConfig(Config):
+    chunk_width: int = 50  # output frames (Kaldi 150 input = 50 subsampled)
+    frame_subsampling_factor: int = 3
+    left_context: int = 34  # model context (models.model_context)
+    right_context: int = 34
+    tolerance: int = 2  # output-frame tolerance (Kaldi 5 input frames / 3)
+    max_phones_per_chunk: int = 32
+    min_phones_per_chunk: int = 1
+
+    @property
+    def max_states(self) -> int:
+        return 2 * self.max_phones_per_chunk
+
+    @property
+    def input_frames(self) -> int:
+        return (
+            self.left_context
+            + (self.chunk_width - 1) * self.frame_subsampling_factor
+            + 1
+            + self.right_context
+        )
+
+
+@dataclasses.dataclass
+class Chunk:
+    feats: np.ndarray  # [T_in, F]
+    sup: ChunkSupervision
+    ivector: Optional[np.ndarray] = None
+
+
+def _pad_feats(feats: np.ndarray, left: int, right: int) -> np.ndarray:
+    return np.concatenate(
+        [np.repeat(feats[:1], left, axis=0), feats, np.repeat(feats[-1:], right, axis=0)]
+    )
+
+
+def make_egs(
+    utts,
+    lm: PhoneLM,
+    topo: ChainTopology,
+    tree,
+    cfg: EgsConfig,
+    den_init_fn=None,
+) -> List[Chunk]:
+    """Cut utterances (data.synthetic.Utterance-like: .feats [T_in,F],
+    .phones, .begins, .ends at output rate) into supervised chunks."""
+    fs = cfg.frame_subsampling_factor
+    w = cfg.chunk_width
+    chunks: List[Chunk] = []
+    for utt in utts:
+        t_out = len(utt.pdf_align) if utt.pdf_align is not None else (
+            utt.feats.shape[0] // fs
+        )
+        padded = _pad_feats(utt.feats, cfg.left_context, cfg.right_context)
+        begins = np.asarray(utt.begins)
+        ends = np.asarray(utt.ends)
+        if t_out < w:
+            continue  # utterance shorter than one chunk
+        # chunk starts: cover the utterance; last chunk snaps back to fit
+        starts = list(range(0, t_out - w + 1, w))
+        if starts[-1] + w < t_out:
+            starts.append(t_out - w)
+        for c in starts:
+            # phones overlapping [c, c+w)
+            sel = (ends >= c) & (begins < c + w)
+            idx = np.nonzero(sel)[0]
+            if not (cfg.min_phones_per_chunk <= len(idx) <= cfg.max_phones_per_chunk):
+                continue
+            ph = [utt.phones[i] for i in idx]
+            b = np.clip(begins[idx] - c, 0, w - 1)
+            e = np.clip(ends[idx] - c, 0, w - 1)
+            sup = make_chunk_supervision(
+                ph, b.tolist(), e.tolist(), lm, topo, tree, w, cfg.max_states,
+                tol=cfg.tolerance, den_init_fn=den_init_fn,
+            )
+            in_start = c * fs  # padded coords: original frame c*fs - left + left
+            feats = padded[in_start : in_start + cfg.input_frames]
+            chunks.append(Chunk(feats=feats, sup=sup))
+    return chunks
+
+
+def batch_iterator(
+    chunks: Sequence[Chunk],
+    batch_size: int,
+    rng: np.random.RandomState,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """Yields {"feats": [B,T,F], "sup": batched ChunkSupervision,
+    "ivectors": [B,D]|absent} host-side numpy batches."""
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(chunks))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+            sel = order[i : i + batch_size]
+            if drop_last and len(sel) < batch_size:
+                continue
+            batch = {
+                "feats": np.stack([chunks[j].feats for j in sel]),
+                "sup": stack_supervisions([chunks[j].sup for j in sel]),
+            }
+            if chunks[sel[0]].ivector is not None:
+                batch["ivectors"] = np.stack([chunks[j].ivector for j in sel])
+            yield batch
+        epoch += 1

@@ -28,17 +28,20 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence
 
+import jax.tree_util
 import numpy as np
 
 from tdnnf_nas_tpu.graphs.phone_lm import PhoneLM
 from tdnnf_nas_tpu.graphs.topology import ChainTopology
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ChunkSupervision:
     """Dense per-chunk numerator graph, padded to a static state count.
 
-    All arrays are numpy; batching = stacking along a leading axis.
+    Built as numpy; batching = stacking along a leading axis.  Registered as
+    a pytree so batched supervisions pass straight into jitted train steps.
     """
 
     trans: np.ndarray  # [S, S] float32
@@ -46,6 +49,13 @@ class ChunkSupervision:
     init: np.ndarray  # [S] float32
     final: np.ndarray  # [S] float32
     mask: np.ndarray  # [T, S] float32 (1 = state allowed at frame t)
+
+    def tree_flatten(self):
+        return (self.trans, self.state_pdf, self.init, self.final, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 def numerator_graph(

@@ -1,0 +1,332 @@
+"""Factored TDNN (TDNN-F) acoustic model — the manual/child architecture.
+
+TPU-native equivalent of the reference's xconfig network
+(`local/chain_NAS/run_tdnn_7q_fbk_40_manual.sh:127-159` +
+`steps/libs/nnet3/xconfig/composite_layers.py:68-215`, `:1243-1331`):
+
+  lda (fixed affine over Append(-1,0,1, ivector(t=0)))
+  -> tdnn1: affine -> ReLU -> BatchNorm -> dropout                 (dim 1536)
+  -> tdnnf2..15: linear([-s,0] splice -> bottleneck, semi-orth)
+                 -> affine([0,s] splice -> dim, +bias)
+                 -> ReLU -> BatchNorm -> dropout
+                 -> bypass: 0.66*prev + cur                        (NoOp sum)
+  -> prefinal-l: linear -> 256 (semi-orth)
+  -> prefinal-chain: affine->1536 -> ReLU -> BN -> linear->256(orth) -> BN
+     -> output affine -> num_pdfs                      (chain head)
+  -> prefinal-xent (same shape) -> output-xent         (CE regularizer head)
+
+Everything is a pure function over a params dict pytree; batchnorm running
+stats live in a separate pytree (train mode uses batch stats and EMA-updates
+the stored ones; eval uses stored — the principled version of the
+reference's BatchNormComponent / BatchNormTestComponent text swap,
+`nnet-normalize-component.cc:682-1010`).  Valid-convolution time semantics:
+each layer shrinks time by its total stride span, so the chunk input carries
+exactly the model's left/right context.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdnnf_nas_tpu.core.config import Config
+from tdnnf_nas_tpu.ops.tdnn import spliced_linear
+
+BN_EPS = 1e-3  # Kaldi BatchNormComponent default epsilon
+BN_DECAY = 0.98
+
+
+@dataclasses.dataclass(frozen=True)
+class TdnnfModelConfig(Config):
+    """Flagship 7q shape by default (18.6M params at bottleneck 160)."""
+
+    feat_dim: int = 40
+    ivector_dim: int = 100
+    hidden_dim: int = 1536
+    bottleneck_dim: int = 160
+    # strides of tdnnf2..tdnnf15 — 7q: 1,1,1,0 then `offset` x 10
+    # (`run_tdnn_7q_fbk_40_manual.sh:137-151`); per-layer bottlenecks may
+    # override bottleneck_dim (searched child models).
+    time_strides: Tuple[int, ...] = (1, 1, 1, 0, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3)
+    # searched child models may use different linear/affine offsets per layer
+    # (28 independently-searched values, `generate_top_list.py:95-143`);
+    # nonempty => overrides time_strides with (linear_stride, affine_stride).
+    time_strides_asym: Tuple[Tuple[int, int], ...] = ()
+    bottleneck_dims: Tuple[int, ...] = ()  # empty => bottleneck_dim everywhere
+    num_pdfs: int = 6034
+    prefinal_big: int = 1536
+    prefinal_small: int = 256
+    bypass_scale: float = 0.66
+    dropout_proportion: float = 0.0
+    frame_subsampling_factor: int = 3
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def lda_splice(self) -> Tuple[int, ...]:
+        return (-1, 0, 1)
+
+    @property
+    def lda_dim(self) -> int:
+        return self.feat_dim * 3 + self.ivector_dim
+
+    def layer_bottleneck(self, i: int) -> int:
+        if self.bottleneck_dims:
+            return self.bottleneck_dims[i]
+        return self.bottleneck_dim
+
+    @property
+    def num_tdnnf(self) -> int:
+        return len(self.stride_pairs)
+
+    @property
+    def stride_pairs(self) -> Tuple[Tuple[int, int], ...]:
+        """(linear_stride, affine_stride) per tdnnf layer."""
+        if self.time_strides_asym:
+            return tuple(tuple(p) for p in self.time_strides_asym)
+        return tuple((s, s) for s in self.time_strides)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def model_context(cfg: TdnnfModelConfig) -> Tuple[int, int]:
+    """(left, right) input context in original frames.
+
+    lda contributes 1 each side; each tdnnf layer contributes its linear
+    stride left ([-l,0] splice) and affine stride right ([0,r]) — the
+    quantity the reference recomputes via
+    `xconfig_to_configs_cal_info.py:233-266`.
+    """
+    pairs = cfg.stride_pairs
+    return (1 + sum(l for l, _ in pairs), 1 + sum(r for _, r in pairs))
+
+
+def chunk_input_frames(cfg: TdnnfModelConfig, chunk_width: int) -> int:
+    """Input frames needed for `chunk_width` output (subsampled) frames."""
+    left, right = model_context(cfg)
+    fs = cfg.frame_subsampling_factor
+    return left + (chunk_width - 1) * fs + 1 + right
+
+
+def _linear_init(key, shape, in_dim):
+    return (jax.random.normal(key, shape, jnp.float32) / np.sqrt(in_dim)).astype(jnp.float32)
+
+
+def init_model(cfg: TdnnfModelConfig, key: jax.Array):
+    """Returns (params, bn_state) pytrees."""
+    keys = jax.random.split(key, 64)
+    ki = iter(range(64))
+    params = {}
+    params["lda"] = {
+        "w": jnp.eye(cfg.lda_dim, dtype=jnp.float32),
+        "b": jnp.zeros((cfg.lda_dim,), jnp.float32),
+    }
+    params["tdnn1"] = {
+        "w": _linear_init(keys[next(ki)], (cfg.lda_dim, cfg.hidden_dim), cfg.lda_dim),
+        "b": jnp.zeros((cfg.hidden_dim,), jnp.float32),
+    }
+    for i, (l, r) in enumerate(cfg.stride_pairs):
+        k_lin = 2 if l > 0 else 1
+        k_aff = 2 if r > 0 else 1
+        bdim = cfg.layer_bottleneck(i)
+        params[f"tdnnf{i + 2}"] = {
+            "linear": _linear_init(
+                keys[next(ki)], (k_lin, cfg.hidden_dim, bdim), k_lin * cfg.hidden_dim
+            ),
+            "affine": _linear_init(
+                keys[next(ki)], (k_aff, bdim, cfg.hidden_dim), k_aff * bdim
+            ),
+            "affine_b": jnp.zeros((cfg.hidden_dim,), jnp.float32),
+        }
+    params["prefinal_l"] = _linear_init(
+        keys[next(ki)], (cfg.hidden_dim, cfg.prefinal_small), cfg.hidden_dim
+    )
+    for head in ("chain", "xent"):
+        params[f"prefinal_{head}"] = {
+            "affine_w": _linear_init(
+                keys[next(ki)], (cfg.prefinal_small, cfg.prefinal_big), cfg.prefinal_small
+            ),
+            "affine_b": jnp.zeros((cfg.prefinal_big,), jnp.float32),
+            "linear": _linear_init(
+                keys[next(ki)], (cfg.prefinal_big, cfg.prefinal_small), cfg.prefinal_big
+            ),
+        }
+        params[f"output_{head}"] = {
+            "w": jnp.zeros((cfg.prefinal_small, cfg.num_pdfs), jnp.float32),
+            "b": jnp.zeros((cfg.num_pdfs,), jnp.float32),
+        }
+    bn_state = {}
+    for name, dim in _bn_dims(cfg):
+        bn_state[name] = {
+            "mean": jnp.zeros((dim,), jnp.float32),
+            "var": jnp.ones((dim,), jnp.float32),
+        }
+    return params, bn_state
+
+
+def _bn_dims(cfg: TdnnfModelConfig):
+    yield "tdnn1", cfg.hidden_dim
+    for i in range(cfg.num_tdnnf):
+        yield f"tdnnf{i + 2}", cfg.hidden_dim
+    for head in ("chain", "xent"):
+        yield f"prefinal_{head}_big", cfg.prefinal_big
+        yield f"prefinal_{head}_small", cfg.prefinal_small
+
+
+def _batchnorm(x, stats, train: bool):
+    """Kaldi-style batchnorm: pure normalization, no learned scale/offset.
+
+    Returns (normalized, new_stats).  x: [B, T, D]; stats over (B, T).
+    """
+    if train:
+        mean = jnp.mean(x, axis=(0, 1))
+        var = jnp.mean(jnp.square(x), axis=(0, 1)) - mean**2
+        new_stats = {
+            "mean": BN_DECAY * stats["mean"] + (1 - BN_DECAY) * mean,
+            "var": BN_DECAY * stats["var"] + (1 - BN_DECAY) * var,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + BN_EPS)
+    return (x - mean) * inv, new_stats
+
+
+def _dropout(x, p: float, key, train: bool):
+    """Per-dim dropout mask shared across time (GeneralDropoutComponent
+    behavior, `composite_layers.py:192-196`)."""
+    if not train or p <= 0.0 or key is None:
+        return x
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(key, keep, (x.shape[0], 1, x.shape[-1]))
+    return x * mask.astype(x.dtype) / keep
+
+
+def apply_model(
+    cfg: TdnnfModelConfig,
+    params,
+    bn_state,
+    feats: jax.Array,
+    ivectors: Optional[jax.Array] = None,
+    train: bool = False,
+    dropout_key: Optional[jax.Array] = None,
+):
+    """Forward pass.
+
+    Args:
+      feats: [B, T_in, feat_dim] — T_in from chunk_input_frames().
+      ivectors: [B, ivector_dim] per-chunk i-vectors (cfg.ivector_dim > 0).
+
+    Returns:
+      (chain_logits [B, T_out, P], xent_logits [B, T_out, P], new_bn_state)
+      with T_out = (T_in - left - right - 1)//fs + 1 at the subsampled rate.
+    """
+    dt = cfg.dtype
+    new_bn = {}
+    dk = iter(jax.random.split(dropout_key, 32)) if dropout_key is not None else None
+
+    # --- lda: splice (-1,0,1) + appended constant-t ivector, fixed affine ---
+    t_spliced = feats.shape[1] - 2
+    spl = jnp.concatenate(
+        [feats[:, o + 1 : o + 1 + t_spliced] for o in (-1, 0, 1)], axis=-1
+    )
+    if cfg.ivector_dim:
+        assert ivectors is not None, "model configured with ivectors"
+        iv = jnp.broadcast_to(
+            ivectors[:, None, :], (spl.shape[0], t_spliced, cfg.ivector_dim)
+        )
+        spl = jnp.concatenate([spl, iv], axis=-1)
+    x = (
+        jnp.matmul(spl.astype(dt), params["lda"]["w"].astype(dt),
+                   preferred_element_type=jnp.float32)
+        + params["lda"]["b"]
+    )
+
+    # --- tdnn1 ---
+    x = jnp.matmul(x.astype(dt), params["tdnn1"]["w"].astype(dt),
+                   preferred_element_type=jnp.float32) + params["tdnn1"]["b"]
+    x = jax.nn.relu(x)
+    x, new_bn["tdnn1"] = _batchnorm(x, bn_state["tdnn1"], train)
+    x = _dropout(x, cfg.dropout_proportion, next(dk) if dk else None, train)
+
+    # --- tdnnf stack ---
+    for i, (l, r) in enumerate(cfg.stride_pairs):
+        name = f"tdnnf{i + 2}"
+        p = params[name]
+        lin_off = (-l, 0) if l > 0 else (0,)
+        aff_off = (0, r) if r > 0 else (0,)
+        bottleneck = spliced_linear(x, p["linear"], lin_off, compute_dtype=dt)
+        cur = spliced_linear(bottleneck, p["affine"], aff_off, bias=p["affine_b"],
+                             compute_dtype=dt)
+        cur = jax.nn.relu(cur)
+        cur, new_bn[name] = _batchnorm(cur, bn_state[name], train)
+        cur = _dropout(cur, cfg.dropout_proportion, next(dk) if dk else None, train)
+        # bypass: trim prev to cur's (shorter) time extent
+        prev = x[:, l : x.shape[1] - r] if (l or r) else x
+        x = cur + cfg.bypass_scale * prev
+
+    # --- subsample to output frame rate ---
+    x = x[:, :: cfg.frame_subsampling_factor]
+
+    # --- prefinal-l ---
+    pl = jnp.matmul(x.astype(dt), params["prefinal_l"].astype(dt),
+                    preferred_element_type=jnp.float32)
+
+    outs = []
+    for head in ("chain", "xent"):
+        hp = params[f"prefinal_{head}"]
+        h = jnp.matmul(pl.astype(dt), hp["affine_w"].astype(dt),
+                       preferred_element_type=jnp.float32) + hp["affine_b"]
+        h = jax.nn.relu(h)
+        h, new_bn[f"prefinal_{head}_big"] = _batchnorm(
+            h, bn_state[f"prefinal_{head}_big"], train
+        )
+        h = jnp.matmul(h.astype(dt), hp["linear"].astype(dt),
+                       preferred_element_type=jnp.float32)
+        h, new_bn[f"prefinal_{head}_small"] = _batchnorm(
+            h, bn_state[f"prefinal_{head}_small"], train
+        )
+        op = params[f"output_{head}"]
+        outs.append(
+            jnp.matmul(h.astype(dt), op["w"].astype(dt),
+                       preferred_element_type=jnp.float32) + op["b"]
+        )
+    return outs[0], outs[1], new_bn
+
+
+def semiorth_param_paths(cfg: TdnnfModelConfig):
+    """Names of params under the semi-orthogonal constraint: every tdnnf
+    `linear` factor, prefinal-l, and the prefinal `linear` factors
+    (orthonormal-constraint=-1.0 in the reference xconfig,
+    `run_tdnn_7q_fbk_40_manual.sh:121,152-157`)."""
+    paths = [("prefinal_l",)]
+    for i in range(cfg.num_tdnnf):
+        paths.append((f"tdnnf{i + 2}", "linear"))
+    for head in ("chain", "xent"):
+        paths.append((f"prefinal_{head}", "linear"))
+    return paths
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))
+
+
+def estimate_lda(spliced_feats: np.ndarray, ridge: float = 1e-3) -> Tuple[np.ndarray, np.ndarray]:
+    """Whitening preconditioner over spliced input features.
+
+    Stand-in for the reference's LDA-like preconditioning matrix estimated
+    from egs (`steps/nnet3/chain/train.py:426-434`): zero-mean + decorrelate
+    + unit-variance linear map (w, b) with y = x @ w + b.
+    """
+    x = spliced_feats.reshape(-1, spliced_feats.shape[-1]).astype(np.float64)
+    mean = x.mean(axis=0)
+    cov = np.cov(x - mean, rowvar=False) + ridge * np.eye(x.shape[1])
+    evals, evecs = np.linalg.eigh(cov)
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 1e-8))) @ evecs.T
+    b = -mean @ w
+    return w.astype(np.float32), b.astype(np.float32)

@@ -1,0 +1,7 @@
+from tdnnf_nas_tpu.parallel.mesh import (
+    make_mesh,
+    dp_sharding,
+    replicated_sharding,
+    put_replicated,
+    put_batch,
+)

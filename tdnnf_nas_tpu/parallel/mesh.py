@@ -1,0 +1,63 @@
+"""Device mesh + data-parallel sharding.
+
+TPU-native replacement for the reference's parallelism (SURVEY.md §2.5):
+Kaldi runs N independent ``nnet3-chain-train`` GPU jobs on disjoint egs and
+averages the models afterwards (`steps/libs/nnet3/train/common.py:108-190`)
+— approximate, once per iteration, and the reason its natural-gradient
+preconditioner exists.  Here the minibatch is sharded over a 1-D ``dp`` mesh
+axis and the model state replicated; the single jitted train step then
+yields an EXACT per-step gradient all-reduce, inserted by XLA's SPMD
+partitioner as a psum over ICI — no model averaging, no filesystem exchange.
+
+At this model scale (13–23M params) TP/PP are unnecessary (documented
+explicitly per SURVEY.md §2.5); scaling is pure DP, multi-host via
+`jax.distributed` + the same mesh spanning hosts (DCN for the inter-host
+ring).  Sequence handling stays chunk-based (§5.7) — no sequence axis to
+shard.
+
+Usage:
+    mesh = make_mesh()
+    state = put_replicated(state, mesh)
+    step = make_train_step(...)           # plain jitted step
+    for batch in it:
+        state, metrics = step(state, put_batch(batch, mesh), key)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def dp_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the dp axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def put_replicated(tree, mesh: Mesh):
+    s = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def put_batch(batch, mesh: Mesh):
+    """Shard every leaf's leading (batch) axis across dp.
+
+    Batch size must be divisible by the dp size (static shapes; the egs
+    iterator guarantees fixed batch sizes).
+    """
+    s = dp_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

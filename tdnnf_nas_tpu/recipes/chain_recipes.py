@@ -1,0 +1,320 @@
+"""Pipeline recipes: the reference's shell-script stages as Python functions.
+
+1:1 with `README.md` steps 5–8 of the reference (SURVEY.md §2.4):
+
+  prepare_data            ~ run.sh + Prepare_NAS_data.sh (here: any utterance
+                            source incl. the synthetic corpus; 95/5 split)
+  train_model             ~ steps/nnet3/chain/train.py (any model/trainer cfg)
+  run_offset_search_pipeline
+                          ~ run_TDNN_DARTSV3_fbk_stride_pretrain.sh (uniform
+                            one-hot 95% pretrain) -> ..._cvupdate.sh
+                            (gumbel/softmax alpha-only update on the 5% dev
+                            split, BN frozen) -> generate_top_list.py
+                            (beam-search extraction) ->
+                            run_TDNN_DARTS_Child_mod_fbk.sh (child retrain)
+  run_bottleneck_search_pipeline
+                          ~ run_TDNNf_DARTS_mod_fbk_bottleneckCBshare_*
+                            (one-hot pretrain -> flops-penalized cv-update ->
+                            extraction -> child retrain)
+  decode_corpus           ~ decode + scoring (round 1: Viterbi phone decode
+                            + PER; word-level WFST decode in later rounds)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from tdnnf_nas_tpu.core.metrics import MetricsLogger
+from tdnnf_nas_tpu.core.checkpoint import save_checkpoint
+from tdnnf_nas_tpu.data.egs import EgsConfig, batch_iterator, make_egs
+from tdnnf_nas_tpu.decode.scoring import score_corpus
+from tdnnf_nas_tpu.decode.viterbi import graph_log_arrays, path_to_phones, viterbi_decode
+from tdnnf_nas_tpu.graphs import (
+    build_denominator_graph,
+    den_init_lookup,
+    estimate_phone_lm,
+)
+from tdnnf_nas_tpu.models import (
+    DartsModelConfig,
+    SearchMode,
+    TdnnfModelConfig,
+    model_context,
+    supernet_context,
+)
+from tdnnf_nas_tpu.nas import (
+    child_config_from_arch,
+    extract_bottlenecks,
+    extract_offsets,
+)
+from tdnnf_nas_tpu.ops.fwdbwd import DenGraphArrays
+from tdnnf_nas_tpu.parallel import make_mesh, put_batch, put_replicated
+from tdnnf_nas_tpu.train import (
+    TrainerConfig,
+    TrainState,
+    init_train_state,
+    make_train_step,
+    make_valid_step,
+)
+
+
+@dataclasses.dataclass
+class DataBundle:
+    lm: object
+    den: object
+    den_arrays: DenGraphArrays
+    tree: object
+    topo: object
+    train_utts: list
+    dev_utts: list
+    num_phones: int
+
+    def egs(self, model_cfg, chunk_width=20, dev=False, tol=2,
+            max_phones_per_chunk=24, supernet_cfg=None):
+        if supernet_cfg is not None:
+            left, right = supernet_context(supernet_cfg)
+        else:
+            left, right = model_context(model_cfg)
+        cfg = EgsConfig(
+            chunk_width=chunk_width, left_context=left, right_context=right,
+            tolerance=tol, max_phones_per_chunk=max_phones_per_chunk,
+        )
+        utts = self.dev_utts if dev else self.train_utts
+        return make_egs(utts, self.lm, self.topo, self.tree, cfg,
+                        den_init_fn=den_init_lookup(self.den, self.num_phones))
+
+
+def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
+                 dev_fraction: float = 0.05) -> DataBundle:
+    """Estimate the phone LM, build the den graph, split train/dev.
+
+    The 95/5 split mirrors `Prepare_NAS_data.sh:5-7` (dev = the alpha-update
+    cv split).
+    """
+    n_dev = max(1, int(len(utts) * dev_fraction))
+    dev, train = utts[:n_dev], utts[n_dev:]
+    lm = estimate_phone_lm(phone_seqs, num_phones)
+    den = build_denominator_graph(lm, topo, tree)
+    return DataBundle(
+        lm=lm, den=den, den_arrays=DenGraphArrays.from_graph(den), tree=tree,
+        topo=topo, train_utts=train, dev_utts=dev, num_phones=num_phones,
+    )
+
+
+def train_model(
+    bundle: DataBundle,
+    model_cfg,
+    trainer_cfg: TrainerConfig,
+    num_steps: int,
+    batch_size: int = 8,
+    chunk_width: int = 20,
+    seed: int = 0,
+    supernet: bool = False,
+    init_state: Optional[TrainState] = None,
+    dev: bool = False,
+    metrics: Optional[MetricsLogger] = None,
+    ckpt_dir: Optional[str] = None,
+    ckpt_interval: int = 0,
+    mesh=None,
+) -> Tuple[TrainState, MetricsLogger]:
+    """The iteration loop (`train.py:473-570` equivalent)."""
+    chunks = bundle.egs(
+        model_cfg if not supernet else None, chunk_width=chunk_width, dev=dev,
+        supernet_cfg=model_cfg if supernet else None,
+    )
+    if len(chunks) < batch_size:
+        raise ValueError(f"only {len(chunks)} chunks for batch {batch_size}")
+    state = init_state
+    if state is None:
+        state = init_train_state(model_cfg, trainer_cfg,
+                                 jax.random.PRNGKey(seed), supernet=supernet)
+    if mesh is not None:
+        state = put_replicated(state, mesh)
+    step = make_train_step(model_cfg, trainer_cfg, bundle.den_arrays,
+                           supernet=supernet)
+    metrics = metrics or MetricsLogger()
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed + 1)
+    it = batch_iterator(chunks, batch_size=batch_size, rng=rng)
+    for i, batch in enumerate(it):
+        if i >= num_steps:
+            break
+        if mesh is not None:
+            batch = put_batch(batch, mesh)
+        state, m = step(state, batch, key)
+        metrics.log(i, m)
+        if ckpt_dir and ckpt_interval and (i + 1) % ckpt_interval == 0:
+            save_checkpoint(ckpt_dir, i + 1, state)
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, num_steps, state)
+    return state, metrics
+
+
+def decode_corpus(
+    bundle: DataBundle,
+    model_cfg,
+    state: TrainState,
+    utts=None,
+    chunk_output_frames: int = 0,
+) -> dict:
+    """Viterbi phone decode of whole utterances + PER vs the true phones.
+
+    Pads each utterance's features with the model context and decodes the
+    full output sequence against the denominator (phone-bigram) graph —
+    the diagnostic decoder; WFST word decode lands in later rounds.
+    """
+    from tdnnf_nas_tpu.models import apply_model
+    import jax.numpy as jnp
+
+    utts = utts if utts is not None else bundle.dev_utts
+    left, right = model_context(model_cfg)
+    lt, spdf, li, lf = graph_log_arrays(bundle.den)
+    refs, hyps = [], []
+    for utt in utts:
+        t_out = len(utt.pdf_align)
+        feats = np.concatenate([
+            np.repeat(utt.feats[:1], left, 0), utt.feats,
+            np.repeat(utt.feats[-1:], right + 2, 0),
+        ])[None]
+        need = left + (t_out - 1) * model_cfg.frame_subsampling_factor + 1 + right
+        feats = feats[:, :need] if feats.shape[1] >= need else None
+        if feats is None:
+            continue
+        chain, _, _ = apply_model(model_cfg, state.params, state.bn_state,
+                                  jnp.asarray(feats), train=False)
+        _, paths = viterbi_decode(chain, lt, spdf, li, lf)
+        hyps.append(path_to_phones(np.asarray(paths[0]), bundle.num_phones))
+        refs.append(list(utt.phones))
+    return score_corpus(refs, hyps)
+
+
+def run_offset_search_pipeline(
+    bundle: DataBundle,
+    base_cfg: TdnnfModelConfig,
+    max_stride: int = 3,
+    pretrain_steps: int = 60,
+    cvupdate_steps: int = 40,
+    child_steps: int = 60,
+    cv_mode: str = SearchMode.GUMBEL,
+    batch_size: int = 8,
+    chunk_width: int = 20,
+    seed: int = 0,
+    trainer_kw: Optional[dict] = None,
+    child_top_k: int = 1,
+):
+    """Full two-stage context-offset DARTS (reference steps 6a-6d).
+
+    Returns dict with supernet state, extracted archs, child cfg + state,
+    and metric loggers.
+    """
+    tkw = trainer_kw or {}
+    darts_cfg = DartsModelConfig(base=base_cfg, search_offsets=True,
+                                 max_stride=max_stride)
+    # --- stage A: 95% uniform-sample pretrain (theta only) ---
+    pre_cfg = TrainerConfig(
+        train_theta=True, train_alpha=False,
+        search_mode=SearchMode.UNIFORM, **tkw,
+    )
+    sup_state, pre_metrics = train_model(
+        bundle, darts_cfg, pre_cfg, pretrain_steps, batch_size=batch_size,
+        chunk_width=chunk_width, seed=seed, supernet=True,
+    )
+    # --- stage B: 5% cv alpha-only update, theta + BN frozen ---
+    cv_cfg = TrainerConfig(
+        train_theta=False, train_alpha=True, bn_frozen=True,
+        search_mode=cv_mode, **tkw,
+    )
+    sup_state, cv_metrics = train_model(
+        bundle, darts_cfg, cv_cfg, cvupdate_steps, batch_size=batch_size,
+        chunk_width=chunk_width, seed=seed + 1, supernet=True,
+        init_state=sup_state, dev=True,
+    )
+    # --- extraction (beam search over alpha softmax) ---
+    archs = extract_offsets(
+        np.asarray(sup_state.alphas["offsets_linear"]),
+        np.asarray(sup_state.alphas["offsets_affine"]),
+        top_k=max(child_top_k, 1),
+    )
+    results = {
+        "supernet_state": sup_state,
+        "pretrain_metrics": pre_metrics,
+        "cvupdate_metrics": cv_metrics,
+        "archs": archs,
+        "children": [],
+    }
+    # --- stage C: child retrain on full data ---
+    for pairs, lp in archs[:child_top_k]:
+        child_cfg = child_config_from_arch(base_cfg, stride_pairs=pairs)
+        child_tr = TrainerConfig(**tkw)
+        child_state, child_metrics = train_model(
+            bundle, child_cfg, child_tr, child_steps, batch_size=batch_size,
+            chunk_width=chunk_width, seed=seed + 2,
+        )
+        results["children"].append(
+            {"cfg": child_cfg, "state": child_state, "metrics": child_metrics,
+             "arch_logprob": lp}
+        )
+    return results
+
+
+def run_bottleneck_search_pipeline(
+    bundle: DataBundle,
+    base_cfg: TdnnfModelConfig,
+    bottleneck_groups: Tuple[int, ...] = (4, 4, 8),
+    fixed_strides: Optional[Tuple[Tuple[int, int], ...]] = None,
+    pretrain_steps: int = 60,
+    cvupdate_steps: int = 40,
+    child_steps: int = 60,
+    flops_coef: float = 0.0,
+    batch_size: int = 8,
+    chunk_width: int = 20,
+    seed: int = 0,
+    trainer_kw: Optional[dict] = None,
+):
+    """Bottleneck-dim search (reference steps 7a-7d; stage-8 combo when
+    fixed_strides comes from a prior offset search)."""
+    tkw = trainer_kw or {}
+    strides = fixed_strides or base_cfg.stride_pairs
+    darts_cfg = DartsModelConfig(
+        base=base_cfg, search_offsets=False, fixed_strides=tuple(strides),
+        search_bottleneck=True, bottleneck_groups=tuple(bottleneck_groups),
+    )
+    pre_cfg = TrainerConfig(train_theta=True, train_alpha=False,
+                            search_mode=SearchMode.UNIFORM, **tkw)
+    sup_state, pre_metrics = train_model(
+        bundle, darts_cfg, pre_cfg, pretrain_steps, batch_size=batch_size,
+        chunk_width=chunk_width, seed=seed, supernet=True,
+    )
+    cv_cfg = TrainerConfig(
+        train_theta=False, train_alpha=True, bn_frozen=True,
+        search_mode=SearchMode.GUMBEL, flops_coef=flops_coef, **tkw,
+    )
+    sup_state, cv_metrics = train_model(
+        bundle, darts_cfg, cv_cfg, cvupdate_steps, batch_size=batch_size,
+        chunk_width=chunk_width, seed=seed + 1, supernet=True,
+        init_state=sup_state, dev=True,
+    )
+    archs = extract_bottlenecks(
+        np.asarray(sup_state.alphas["bottleneck"]),
+        darts_cfg.bottleneck_candidates, top_k=1,
+    )
+    dims, lp = archs[0]
+    child_cfg = child_config_from_arch(
+        base_cfg, stride_pairs=tuple(strides), bottleneck_dims=dims
+    )
+    child_state, child_metrics = train_model(
+        bundle, child_cfg, TrainerConfig(**tkw), child_steps,
+        batch_size=batch_size, chunk_width=chunk_width, seed=seed + 2,
+    )
+    return {
+        "supernet_state": sup_state,
+        "pretrain_metrics": pre_metrics,
+        "cvupdate_metrics": cv_metrics,
+        "archs": archs,
+        "child_cfg": child_cfg,
+        "child_state": child_state,
+        "child_metrics": child_metrics,
+    }

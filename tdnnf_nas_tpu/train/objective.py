@@ -1,0 +1,89 @@
+"""The LF-MMI (chain) objective with cross-entropy regularizer.
+
+TPU-native equivalent of the reference pipeline's chain objective (upstream
+`src/chain/chain-training.cc`, invoked per minibatch by ``nnet3-chain-train``
+— call stack SURVEY.md §3.1):
+
+  objf = (1/N) * sum_b [ logZ_num(b) - logZ_den(b) ]
+         - l2 * ||chain_out||^2 / (2N)
+         + xent_scale * (1/N) * sum gamma_num * log_softmax(xent_out)
+
+with N = total supervised frames, leaky-HMM on the denominator only, and
+the numerator posteriors gamma_num (stop-gradient) as the soft targets of
+the xent head.  Returned loss = -objf (minimize).
+
+Reference constants: xent-regularize 0.1, leaky-hmm-coefficient 0.1
+(`run_tdnn_7q_fbk_40_manual.sh:183-185`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tdnnf_nas_tpu.core.config import Config
+from tdnnf_nas_tpu.graphs.supervision import ChunkSupervision
+from tdnnf_nas_tpu.ops.fwdbwd import DenGraphArrays, forward_score
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainObjectiveConfig(Config):
+    xent_regularize: float = 0.1
+    leaky_hmm_coef: float = 0.1
+    out_l2_regularize: float = 0.0  # Kaldi --chain.l2-regularize (on outputs)
+
+
+def chain_objective(
+    chain_out: jax.Array,
+    xent_out: jax.Array,
+    den: DenGraphArrays,
+    sup: ChunkSupervision,
+    cfg: ChainObjectiveConfig,
+):
+    """Compute (loss, metrics).
+
+    chain_out/xent_out: [B, T, P] log-output of the two heads at the
+    subsampled frame rate; sup arrays are batched [B, ...] device arrays.
+    """
+    b, t, p = chain_out.shape
+    n_frames = b * t
+
+    logz_den = forward_score(
+        chain_out, den.trans, den.state_pdf, den.init, den.final,
+        leaky_coef=cfg.leaky_hmm_coef,
+    )
+    logz_num = forward_score(
+        chain_out, sup.trans, sup.state_pdf, sup.init, sup.final, mask=sup.mask
+    )
+    mmi = (jnp.sum(logz_num) - jnp.sum(logz_den)) / n_frames
+    loss = -mmi
+    metrics = {
+        "objf_mmi": mmi,
+        "logz_num": jnp.mean(logz_num) / t,
+        "logz_den": jnp.mean(logz_den) / t,
+    }
+
+    if cfg.out_l2_regularize > 0.0:
+        l2 = jnp.sum(jnp.square(chain_out)) / (2.0 * n_frames)
+        loss = loss + cfg.out_l2_regularize * l2
+        metrics["out_l2"] = l2
+
+    if cfg.xent_regularize > 0.0:
+        # numerator occupancies as soft targets (constant w.r.t. params)
+        def num_tot(o):
+            return jnp.sum(
+                forward_score(o, sup.trans, sup.state_pdf, sup.init, sup.final,
+                              mask=sup.mask)
+            )
+
+        gamma = jax.grad(num_tot)(jax.lax.stop_gradient(chain_out))
+        gamma = jax.lax.stop_gradient(gamma)
+        logp = jax.nn.log_softmax(xent_out, axis=-1)
+        xent_objf = jnp.sum(gamma * logp) / n_frames
+        loss = loss - cfg.xent_regularize * xent_objf
+        metrics["objf_xent"] = xent_objf
+
+    metrics["loss"] = loss
+    return loss, metrics

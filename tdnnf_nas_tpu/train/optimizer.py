@@ -1,0 +1,128 @@
+"""Optimizer: exponential LR schedule, max-change clipping, weight decay.
+
+Replaces the reference training stack's update rule (Kaldi NG-SGD with
+per-component + global max-param-change, exponential LR schedule
+`steps/libs/nnet3/train/common.py:606`, per-component l2 from the xconfig
+opts `run_tdnn_7q_fbk_40_manual.sh:119-123`).  With exact per-step psum
+data-parallelism the natural-gradient-for-averaging machinery is
+unnecessary (SURVEY.md §2.5); Adam (default) or plain SGD both carry the
+max-change safety net, which is what actually stabilizes chain training.
+
+Architecture logits get their own LR scale (``alpha_lr_scale``) — the
+explicit, documented version of the reference's x10000 alpha-grad scale
+paired with LearningRateFactor 1e-4 (`nnet-tdnn-component.cc:588-590` +
+`run_TDNN_DARTSV3_fbk_stride_cvupdate.sh:130`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tdnnf_nas_tpu.core.config import Config
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig(Config):
+    kind: str = "adam"  # adam | sgd
+    lr_initial: float = 1e-3
+    lr_final: float = 1e-4
+    num_steps: int = 1000
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    momentum: float = 0.0  # sgd only
+    max_change_per_leaf: float = 0.75  # Kaldi per-component max-change
+    max_change_global: float = 2.0  # Kaldi --trainer.max-param-change
+    l2_regularize: float = 0.0  # decoupled weight decay (per-leaf scalable)
+    alpha_lr_scale: float = 1.0
+
+
+def learning_rate_at(step, cfg: OptimizerConfig):
+    """Exponential decay lr_initial -> lr_final over num_steps
+    (`common.py:606` get_learning_rate)."""
+    frac = jnp.clip(step / max(cfg.num_steps, 1), 0.0, 1.0)
+    return cfg.lr_initial * (cfg.lr_final / cfg.lr_initial) ** frac
+
+
+def make_optimizer(
+    cfg: OptimizerConfig,
+    wd_scale_fn: Optional[Callable[[tuple], float]] = None,
+):
+    """Returns (init_fn, update_fn).
+
+    init_fn(params) -> opt_state
+    update_fn(grads, opt_state, params, step, lr_scale=1.0)
+        -> (new_params, new_opt_state)
+
+    wd_scale_fn(path) -> relative weight-decay multiplier per leaf (1.0
+    default); effective decay = l2_regularize * scale * lr.
+    """
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        if cfg.kind == "adam":
+            return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params)}
+        if cfg.momentum > 0:
+            return {"m": zeros}
+        return {}
+
+    def update_fn(grads, opt_state, params, step, lr_scale=1.0):
+        lr = learning_rate_at(step, cfg) * lr_scale
+        if cfg.kind == "adam":
+            t = step.astype(jnp.float32) + 1.0
+            m = jax.tree.map(lambda m_, g: cfg.beta1 * m_ + (1 - cfg.beta1) * g,
+                             opt_state["m"], grads)
+            v = jax.tree.map(lambda v_, g: cfg.beta2 * v_ + (1 - cfg.beta2) * g * g,
+                             opt_state["v"], grads)
+            bc1 = 1.0 - cfg.beta1**t
+            bc2 = 1.0 - cfg.beta2**t
+            deltas = jax.tree.map(
+                lambda m_, v_: -lr * (m_ / bc1) / (jnp.sqrt(v_ / bc2) + cfg.eps), m, v
+            )
+            new_state = {"m": m, "v": v}
+        elif cfg.momentum > 0:
+            m = jax.tree.map(lambda m_, g: cfg.momentum * m_ + g, opt_state["m"], grads)
+            deltas = jax.tree.map(lambda m_: -lr * m_, m)
+            new_state = {"m": m}
+        else:
+            deltas = jax.tree.map(lambda g: -lr * g, grads)
+            new_state = opt_state
+
+        # per-leaf max-change (Kaldi per-component max-change 0.75)
+        def clip_leaf(d):
+            n = jnp.sqrt(jnp.sum(jnp.square(d)) + 1e-20)
+            return d * jnp.minimum(1.0, cfg.max_change_per_leaf / n)
+
+        if cfg.max_change_per_leaf > 0:
+            deltas = jax.tree.map(clip_leaf, deltas)
+        # global max-change (Kaldi --trainer.max-param-change 2.0)
+        if cfg.max_change_global > 0:
+            gn = jnp.sqrt(
+                sum(jnp.sum(jnp.square(d)) for d in jax.tree.leaves(deltas)) + 1e-20
+            )
+            scale = jnp.minimum(1.0, cfg.max_change_global / gn)
+            deltas = jax.tree.map(lambda d: d * scale, deltas)
+
+        # decoupled weight decay
+        if cfg.l2_regularize > 0:
+            paths_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+            scales = [
+                (wd_scale_fn(tuple(str(k) for k in path)) if wd_scale_fn else 1.0)
+                for path, _ in paths_leaves
+            ]
+            flat_deltas, treedef = jax.tree_util.tree_flatten(deltas)
+            flat_params = [leaf for _, leaf in paths_leaves]
+            flat_deltas = [
+                d - lr * cfg.l2_regularize * s * p
+                for d, p, s in zip(flat_deltas, flat_params, scales)
+            ]
+            deltas = jax.tree_util.tree_unflatten(treedef, flat_deltas)
+
+        new_params = jax.tree.map(lambda p, d: p + d, params, deltas)
+        return new_params, new_state
+
+    return init_fn, update_fn

@@ -87,7 +87,9 @@ def test_semiorth_converges():
 
 def test_semiorth_fixed_scale():
     rng = np.random.RandomState(3)
-    w = jnp.asarray(rng.randn(96, 48).astype(np.float32) * 0.3)
+    # init near the target scale — the fixed-scale update (like Kaldi's) is
+    # a local iteration and diverges from far-away starts
+    w = jnp.asarray(rng.randn(96, 48).astype(np.float32) * 0.1)
     for _ in range(40):
         w = semi_orthogonal_step(w, scale=1.0)
     m = np.asarray(w).T  # rows<cols
