@@ -1,0 +1,170 @@
+"""ctypes bindings for the native (C++) egs/supervision builder.
+
+Loads native/libegs.so, auto-building it with g++ on first use (the image
+ships the native toolchain).  All entry points have pure-Python
+equivalents (graphs/supervision.py, decode/scoring.py) used as the
+reference semantics in tests; the native path exists so supervision-graph
+construction for real training scales (millions of chunks) without
+stalling the device step — the role Kaldi's C++ egs pipeline plays in the
+reference (SURVEY.md §3.1 get_egs).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libegs.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build_lib() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
+         "-o", _LIB_PATH, os.path.join(_NATIVE_DIR, "egs_builder.cc")],
+        check=True, capture_output=True,
+    )
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                _build_lib()
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.build_supervision_batch.argtypes = [
+            i32p, i32p, i32p, i32p, f32p, i32p, i32p, f32p, f32p,
+            ctypes.c_float, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            f32p, i32p, f32p, f32p, f32p,
+        ]
+        lib.build_supervision_batch.restype = None
+        lib.edit_distance_batch.argtypes = [i32p, i32p, i32p, i32p,
+                                            ctypes.c_int32, i32p]
+        lib.edit_distance_batch.restype = None
+        _lib = lib
+        return _lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ragged(seqs: Sequence[Sequence[int]]):
+    offsets = np.zeros(len(seqs) + 1, np.int32)
+    for i, s in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    flat = np.asarray([x for s in seqs for x in s], np.int32)
+    if flat.size == 0:
+        flat = np.zeros(1, np.int32)
+    return flat, offsets
+
+
+def build_supervision_batch_native(
+    phone_seqs: Sequence[Sequence[int]],
+    begin_seqs: Optional[Sequence[Sequence[int]]],
+    end_seqs: Optional[Sequence[Sequence[int]]],
+    lm_probs: np.ndarray,  # [P+1, P]
+    fwd_pdf_table: np.ndarray,  # [P+1, P] int32
+    self_pdf_table: np.ndarray,  # [P] int32
+    den_init_enter: Optional[np.ndarray],  # [P] or None
+    den_init_loop: Optional[np.ndarray],
+    self_loop_prob: float,
+    tol: int,
+    num_frames: int,
+    max_states: int,
+):
+    """Batched supervision graphs; returns dict of [B, ...] arrays
+    (layout identical to graphs.supervision.make_chunk_supervision)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    b = len(phone_seqs)
+    p = lm_probs.shape[1]
+    s, t = max_states, num_frames
+    phones, offsets = _ragged(phone_seqs)
+    if begin_seqs is not None:
+        begins, boff = _ragged(begin_seqs)
+        ends, eoff = _ragged(end_seqs)
+        assert (boff == offsets).all() and (eoff == offsets).all()
+        bp, ep = _i32p(begins), _i32p(ends)
+    else:
+        bp = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+        ep = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+    lm = np.ascontiguousarray(lm_probs, np.float32)
+    fwd = np.ascontiguousarray(fwd_pdf_table, np.int32)
+    slf = np.ascontiguousarray(self_pdf_table, np.int32)
+    trans = np.zeros((b, s, s), np.float32)
+    pdf = np.zeros((b, s), np.int32)
+    init = np.zeros((b, s), np.float32)
+    final = np.zeros((b, s), np.float32)
+    mask = np.zeros((b, t, s), np.float32)
+    de = (np.ascontiguousarray(den_init_enter, np.float32)
+          if den_init_enter is not None else None)
+    dl = (np.ascontiguousarray(den_init_loop, np.float32)
+          if den_init_loop is not None else None)
+    null_f = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    lib.build_supervision_batch(
+        _i32p(phones), _i32p(offsets), bp, ep, _f32p(lm), _i32p(fwd), _i32p(slf),
+        _f32p(de) if de is not None else null_f,
+        _f32p(dl) if dl is not None else null_f,
+        ctypes.c_float(self_loop_prob), tol, t, s, p, b,
+        _f32p(trans), _i32p(pdf), _f32p(init), _f32p(final), _f32p(mask),
+    )
+    return {"trans": trans, "state_pdf": pdf, "init": init, "final": final,
+            "mask": mask}
+
+
+def tree_tables(tree, num_phones: int):
+    """Precompute (fwd_pdf_table [P+1,P], self_pdf_table [P]) for a tree."""
+    fwd = np.zeros((num_phones + 1, num_phones), np.int32)
+    for left in range(-1, num_phones):
+        for p in range(num_phones):
+            fwd[left + 1, p] = tree.forward_pdf(p, left)
+    slf = np.asarray([tree.self_loop_pdf(p) for p in range(num_phones)], np.int32)
+    return fwd, slf
+
+
+def den_init_tables(den_graph, num_phones: int):
+    """(enter [P], loop [P]) den init probs for the CI den-graph layout."""
+    g = den_graph
+    if g.num_states != 2 * num_phones:
+        raise ValueError("den_init_tables supports the CI den layout only")
+    return (np.asarray(g.init[:num_phones], np.float32),
+            np.asarray(g.init[num_phones:], np.float32))
+
+
+def edit_distance_batch_native(refs: List[Sequence[int]], hyps: List[Sequence[int]]):
+    """[N, 4] int32 counts (sub, ins, del, hits) per pair."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    r, ro = _ragged(refs)
+    h, ho = _ragged(hyps)
+    out = np.zeros((len(refs), 4), np.int32)
+    lib.edit_distance_batch(_i32p(r), _i32p(ro), _i32p(h), _i32p(ho),
+                            len(refs), _i32p(out))
+    return out
