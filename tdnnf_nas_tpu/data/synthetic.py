@@ -40,6 +40,7 @@ class Utterance:
     begins: List[int]  # output-frame phone starts
     ends: List[int]  # output-frame phone ends (inclusive)
     pdf_align: np.ndarray  # [T_out] int32
+    words: List[int] = dataclasses.field(default_factory=list)
 
 
 def make_synthetic_corpus(cfg: SyntheticCorpusConfig):
@@ -77,3 +78,72 @@ def make_synthetic_corpus(cfg: SyntheticCorpusConfig):
         utts.append(Utterance(feats, phones, begins, ends, pdf_align))
     phone_seqs = [u.phones for u in utts]
     return utts, phone_seqs, tree, topo
+
+
+@dataclasses.dataclass(frozen=True)
+class WordCorpusConfig(Config):
+    """Word-level corpus: random lexicon + word bigram -> phone/feature
+    stream, for exercising the full decode + WER path."""
+
+    vocab_size: int = 12
+    num_phones: int = 8
+    min_pron: int = 2
+    max_pron: int = 4
+    feat_dim: int = 16
+    num_utts: int = 48
+    min_words: int = 2
+    max_words: int = 6
+    mean_dur: float = 3.0
+    frame_subsampling_factor: int = 3
+    emission_noise: float = 0.5
+    seed: int = 0
+
+
+def make_word_corpus(cfg: WordCorpusConfig):
+    """Returns (utterances-with-words, lexicon_prons, word_seqs, phone_seqs,
+    tree, topo)."""
+    rng = np.random.RandomState(cfg.seed)
+    tree = ContextIndependentTree(cfg.num_phones)
+    topo = ChainTopology(cfg.num_phones)
+    # unique random pronunciations
+    prons = {}
+    seen = set()
+    w = 0
+    while w < cfg.vocab_size:
+        n = rng.randint(cfg.min_pron, cfg.max_pron + 1)
+        pron = tuple(rng.randint(0, cfg.num_phones, size=n).tolist())
+        if pron in seen:
+            continue
+        seen.add(pron)
+        prons[w] = pron
+        w += 1
+    word_bigram = rng.dirichlet(np.ones(cfg.vocab_size) * 0.5, size=cfg.vocab_size)
+    means = rng.randn(tree.num_pdfs, cfg.feat_dim) * 2.0
+    fs = cfg.frame_subsampling_factor
+
+    utts = []
+    for _ in range(cfg.num_utts):
+        n_words = rng.randint(cfg.min_words, cfg.max_words + 1)
+        words = [rng.randint(cfg.vocab_size)]
+        for _ in range(n_words - 1):
+            words.append(rng.choice(cfg.vocab_size, p=word_bigram[words[-1]]))
+        phones = [p for wd in words for p in prons[wd]]
+        begins, ends, pdfs = [], [], []
+        t = 0
+        for p in phones:
+            dur = 1 + rng.geometric(1.0 / cfg.mean_dur)
+            begins.append(t)
+            ends.append(t + dur - 1)
+            pdfs.append(tree.forward_pdf(p))
+            pdfs.extend([tree.self_loop_pdf(p)] * (dur - 1))
+            t += dur
+        pdf_align = np.asarray(pdfs, np.int32)
+        feats = (
+            means[np.repeat(pdf_align, fs)]
+            + rng.randn(len(pdf_align) * fs, cfg.feat_dim) * cfg.emission_noise
+        ).astype(np.float32)
+        utts.append(Utterance(feats, phones, begins, ends, pdf_align,
+                              words=words))
+    word_seqs = [u.words for u in utts]
+    phone_seqs = [u.phones for u in utts]
+    return utts, prons, word_seqs, phone_seqs, tree, topo

@@ -1,0 +1,144 @@
+"""Word-level decoding graph: lexicon x word LM x chain topology x tree.
+
+The dense-array equivalent of the reference's HCLG construction + decode
+(`utils/mkgraph.sh` -> ``nnet3-latgen-faster``, SURVEY.md §3.3): H (chain
+topology), C (context), L (lexicon), G (word bigram) are composed directly
+into the same state-emitting StateGraph form the training objective uses,
+so batched Viterbi word decoding runs on TPU with one max-plus matmul per
+frame.  N-best/lattice output and higher-order LM rescoring extend this in
+later rounds.
+
+States: per word w with pronunciation p_1..p_K, interleaved
+[enter(w,1), loop(w,1), ..., enter(w,K), loop(w,K)].
+Cross-word arcs carry the bigram probability; word identity is emitted on
+entering enter(w,1).  Within-word left phone context feeds the tree's
+forward pdfs (cross-word context approximated by BOS, the standard
+word-position-dependent simplification; exact biphone crossing arrives with
+the sparse graph path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from tdnnf_nas_tpu.graphs.fsa import StateGraph
+from tdnnf_nas_tpu.graphs.topology import ChainTopology
+
+
+@dataclasses.dataclass
+class Lexicon:
+    """word id -> phone sequence (single pronunciation per word, round 1)."""
+
+    prons: Dict[int, Tuple[int, ...]]
+
+    @property
+    def num_words(self) -> int:
+        return len(self.prons)
+
+
+@dataclasses.dataclass
+class WordLM:
+    """Bigram over words: probs[w+1, v] = P(v | w) (row 0 = BOS),
+    final[w+1] = P(end | w)."""
+
+    probs: np.ndarray
+    final: np.ndarray
+    num_words: int
+
+
+def estimate_word_lm(word_seqs, num_words: int, interp: float = 0.1) -> WordLM:
+    from tdnnf_nas_tpu.graphs.phone_lm import estimate_phone_lm
+
+    lm = estimate_phone_lm(word_seqs, num_words, interp=interp)
+    return WordLM(probs=lm.probs, final=lm.final, num_words=num_words)
+
+
+@dataclasses.dataclass
+class DecodingGraph:
+    graph: StateGraph
+    word_of_state: np.ndarray  # [S] int32; word emitted on entry, else -1
+
+
+def build_decoding_graph(
+    lexicon: Lexicon,
+    word_lm: WordLM,
+    topo: ChainTopology,
+    tree,
+    lm_scale: float = 1.0,
+) -> DecodingGraph:
+    a = topo.self_loop_prob
+    # state layout
+    offsets = {}
+    s = 0
+    for w in sorted(lexicon.prons):
+        offsets[w] = s
+        s += 2 * len(lexicon.prons[w])
+    trans = np.zeros((s, s), dtype=np.float64)
+    state_pdf = np.zeros((s,), np.int32)
+    init = np.zeros((s,), np.float64)
+    final = np.zeros((s,), np.float64)
+    word_of_state = np.full((s,), -1, np.int32)
+
+    probs = word_lm.probs.astype(np.float64) ** lm_scale
+    finals = word_lm.final.astype(np.float64) ** lm_scale
+
+    for w in sorted(lexicon.prons):
+        pron = lexicon.prons[w]
+        base = offsets[w]
+        word_of_state[base] = w
+        prev_ph = -1
+        for i, p in enumerate(pron):
+            e, l = base + 2 * i, base + 2 * i + 1
+            state_pdf[e] = tree.forward_pdf(p, prev_ph)
+            state_pdf[l] = tree.self_loop_pdf(p)
+            for src in (e, l):
+                trans[src, l] += a
+                if i + 1 < len(pron):
+                    trans[src, base + 2 * (i + 1)] += 1.0 - a
+                else:
+                    # word end: bigram arcs to every successor + final
+                    for v in sorted(lexicon.prons):
+                        trans[src, offsets[v]] += (1.0 - a) * probs[w + 1, v]
+                    final[src] = (1.0 - a) * finals[w + 1] + a * 0.0
+            prev_ph = p
+        init[base] = probs[0, w]
+
+    g = StateGraph(
+        trans=trans.astype(np.float32),
+        state_pdf=state_pdf,
+        init=(init / max(init.sum(), 1e-30)).astype(np.float32),
+        final=final.astype(np.float32),
+        num_pdfs=tree.num_pdfs,
+    )
+    return DecodingGraph(graph=g, word_of_state=word_of_state)
+
+
+def path_to_words(path: np.ndarray, word_of_state: np.ndarray) -> List[int]:
+    words = []
+    for s in np.asarray(path):
+        w = int(word_of_state[int(s)])
+        if w >= 0:
+            words.append(w)
+    return words
+
+
+def decode_words(
+    obs_logprob,
+    dg: DecodingGraph,
+    acoustic_scale: float = 1.0,
+):
+    """Batched Viterbi word decode.  obs_logprob: [B, T, P] -> list of word
+    sequences + scores."""
+    import jax.numpy as jnp
+
+    from tdnnf_nas_tpu.decode.viterbi import graph_log_arrays, viterbi_decode
+
+    lt, spdf, li, lf = graph_log_arrays(dg.graph)
+    scores, paths = viterbi_decode(
+        jnp.asarray(obs_logprob) * acoustic_scale, lt, spdf, li, lf
+    )
+    hyps = [path_to_words(np.asarray(p), dg.word_of_state) for p in paths]
+    return hyps, np.asarray(scores)

@@ -64,6 +64,11 @@ class TdnnfModelConfig(Config):
     dropout_proportion: float = 0.0
     frame_subsampling_factor: int = 3
     compute_dtype: str = "bfloat16"
+    # run trailing stride-divisible layers at the subsampled rate (matches
+    # nnet3's compiled computation; ~2x fewer FLOPs for 7q).  In train mode
+    # BN stats are then computed over the subsampled frames — also matching
+    # Kaldi, which only ever computes the needed frames.
+    rate_optimize: bool = True
 
     @property
     def lda_splice(self) -> Tuple[int, ...]:
@@ -111,6 +116,27 @@ def chunk_input_frames(cfg: TdnnfModelConfig, chunk_width: int) -> int:
     left, right = model_context(cfg)
     fs = cfg.frame_subsampling_factor
     return left + (chunk_width - 1) * fs + 1 + right
+
+
+def _subsample_layer_index(cfg: TdnnfModelConfig) -> int:
+    """Earliest tdnnf layer from which ALL later strides are multiples of the
+    frame-subsampling factor — from there on the stack runs at the subsampled
+    rate with strides/fs, exactly reproducing the dense computation on the
+    needed frames only (what nnet3's compiler computes via exact index sets;
+    here a static phase-aligned slice).  Returns num_tdnnf when no such point
+    exists (fully dense)."""
+    fs = cfg.frame_subsampling_factor
+    if fs <= 1:
+        return len(cfg.stride_pairs)
+    pairs = cfg.stride_pairs
+    k = len(pairs)
+    for i in range(len(pairs) - 1, -1, -1):
+        l, r = pairs[i]
+        if l % fs == 0 and r % fs == 0:
+            k = i
+        else:
+            break
+    return k
 
 
 def _linear_init(key, shape, in_dim):
@@ -254,8 +280,23 @@ def apply_model(
     x, new_bn["tdnn1"] = _batchnorm(x, bn_state["tdnn1"], train)
     x = _dropout(x, cfg.dropout_proportion, next(dk) if dk else None, train)
 
-    # --- tdnnf stack ---
-    for i, (l, r) in enumerate(cfg.stride_pairs):
+    # --- tdnnf stack (rate-optimized: drop to the subsampled rate once all
+    # remaining strides are multiples of fs — SURVEY.md §5.7) ---
+    fs = cfg.frame_subsampling_factor
+    sub_at = _subsample_layer_index(cfg) if cfg.rate_optimize else len(cfg.stride_pairs)
+    left_total, _ = model_context(cfg)
+    pairs = cfg.stride_pairs
+    subsampled = False
+    for i, (l, r) in enumerate(pairs):
+        if i == sub_at and not subsampled and fs > 1:
+            # positions needed downstream are == left_total (mod fs) in
+            # original coords; x's frame 0 sits at original position p_k
+            p_k = 1 + sum(pl for pl, _ in pairs[:i])
+            phase = (left_total - p_k) % fs
+            x = x[:, phase::fs]
+            subsampled = True
+        if subsampled:
+            l, r = l // fs, r // fs
         name = f"tdnnf{i + 2}"
         p = params[name]
         lin_off = (-l, 0) if l > 0 else (0,)
@@ -270,8 +311,9 @@ def apply_model(
         prev = x[:, l : x.shape[1] - r] if (l or r) else x
         x = cur + cfg.bypass_scale * prev
 
-    # --- subsample to output frame rate ---
-    x = x[:, :: cfg.frame_subsampling_factor]
+    # --- subsample to output frame rate (if not already there) ---
+    if not subsampled and fs > 1:
+        x = x[:, ::fs]
 
     # --- prefinal-l ---
     pl = jnp.matmul(x.astype(dt), params["prefinal_l"].astype(dt),
