@@ -131,6 +131,10 @@ def train_model(
     if state is None:
         state = init_train_state(model_cfg, trainer_cfg,
                                  jax.random.PRNGKey(seed), supernet=supernet)
+    else:
+        # the jitted step donates its input state; don't consume the caller's
+        import jax.numpy as _jnp
+        state = jax.tree.map(_jnp.array, state)
     if mesh is not None:
         state = put_replicated(state, mesh)
     step = make_train_step(model_cfg, trainer_cfg, bundle.den_arrays,
