@@ -33,7 +33,7 @@ def align_utterance(
     """Returns (begins, ends, score) at the output frame rate."""
     n = len(phones)
     max_states = 2 * n
-    trans, state_pdf, init, final = numerator_graph(phones, lm, topo, tree,
+    trans, state_pdf, init, final, _ = numerator_graph(phones, lm, topo, tree,
                                                     max_states)
     # force completion: final mass only on the LAST phone's states
     final = np.zeros_like(final)

@@ -49,13 +49,22 @@ class ChunkSupervision:
     init: np.ndarray  # [S] float32
     final: np.ndarray  # [S] float32
     mask: np.ndarray  # [T, S] float32 (1 = state allowed at frame t)
+    # compact linear-chain form: next_w[i] = weight of the arc into pair i+1
+    # ((1-a) * P_lm(p_{i+1}|p_i)); lets the forward recursion run in O(S)
+    # banded form instead of an [S,S] matmul (ops/fwdbwd.forward_score_linear)
+    next_w: np.ndarray = None  # [S//2] float32
+    self_loop_prob: float = 0.5
 
     def tree_flatten(self):
-        return (self.trans, self.state_pdf, self.init, self.final, self.mask), None
+        return (
+            (self.trans, self.state_pdf, self.init, self.final, self.mask,
+             self.next_w),
+            (self.self_loop_prob,),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, self_loop_prob=aux[0])
 
 
 def numerator_graph(
@@ -79,6 +88,7 @@ def numerator_graph(
     state_pdf = np.zeros((max_states,), dtype=np.int32)
     init = np.zeros((max_states,), dtype=np.float32)
     final = np.zeros((max_states,), dtype=np.float32)
+    next_w = np.zeros((max_states // 2,), dtype=np.float32)
     prev = -1
     for i, p in enumerate(phones):
         e, l = 2 * i, 2 * i + 1
@@ -88,11 +98,13 @@ def numerator_graph(
             trans[src, l] = a
             if i + 1 < n:
                 q = phones[i + 1]
-                trans[src, 2 * (i + 1)] = (1.0 - a) * float(lm.probs[p + 1, q])
+                w = (1.0 - a) * float(lm.probs[p + 1, q])
+                trans[src, 2 * (i + 1)] = w
+                next_w[i] = w
         prev = p
     final[: s] = 1.0
     init[0] = 1.0
-    return trans, state_pdf, init, final
+    return trans, state_pdf, init, final, next_w
 
 
 def tolerance_mask(
@@ -148,7 +160,7 @@ def make_chunk_supervision(
     init is uniform over allowed start states (objective may exceed 0 by a
     bounded constant).
     """
-    trans, state_pdf, init, final = numerator_graph(phones, lm, topo, tree, max_states)
+    trans, state_pdf, init, final, next_w = numerator_graph(phones, lm, topo, tree, max_states)
     n = len(phones)
     if begins is None:
         mask = np.zeros((num_frames, max_states), dtype=np.float32)
@@ -174,7 +186,9 @@ def make_chunk_supervision(
     else:
         init = allowed0.astype(np.float32)
         init /= init.sum()
-    return ChunkSupervision(trans=trans, state_pdf=state_pdf, init=init, final=final, mask=mask)
+    return ChunkSupervision(trans=trans, state_pdf=state_pdf, init=init, final=final,
+                            mask=mask, next_w=next_w,
+                            self_loop_prob=topo.self_loop_prob)
 
 
 def stack_supervisions(sups: Sequence[ChunkSupervision]) -> ChunkSupervision:
@@ -185,4 +199,7 @@ def stack_supervisions(sups: Sequence[ChunkSupervision]) -> ChunkSupervision:
         init=np.stack([s.init for s in sups]),
         final=np.stack([s.final for s in sups]),
         mask=np.stack([s.mask for s in sups]),
+        next_w=(np.stack([s.next_w for s in sups])
+                if sups[0].next_w is not None else None),
+        self_loop_prob=sups[0].self_loop_prob,
     )

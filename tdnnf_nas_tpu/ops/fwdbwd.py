@@ -166,6 +166,58 @@ def occupancy_posteriors(
     return per_seq, grad
 
 
+@partial(jax.jit, static_argnames=("self_loop_prob",))
+def forward_score_linear(
+    obs_logprob: jax.Array,
+    next_w: jax.Array,
+    state_pdf: jax.Array,
+    init: jax.Array,
+    final: jax.Array,
+    mask: jax.Array,
+    self_loop_prob: float = 0.5,
+) -> jax.Array:
+    """forward_score specialized to the linear-chain numerator graph.
+
+    The numerator's transition matrix is banded (pair i -> its own loop
+    state with prob a; pair i -> pair i+1's enter state with next_w[i]), so
+    the recursion is O(S) elementwise work instead of an [S,S] matmul:
+
+      pair[i]       = alpha[enter_i] + alpha[loop_i]
+      alpha'[loop_i]  = pair[i] * a         * obs[loop_i]
+      alpha'[enter_i] = pair[i-1] * w[i-1]  * obs[enter_i]
+
+    Identical result to forward_score on the dense trans (tested), ~20x
+    cheaper for the numerator half of the chain objective.
+
+    Args: obs_logprob [B,T,P]; next_w [B, S//2]; state_pdf/init/final
+    [B, S]; mask [B, T, S].
+    """
+    b, t, _ = obs_logprob.shape
+    s = state_pdf.shape[-1]
+    n = s // 2
+    obs_logprob = obs_logprob.astype(jnp.float32)
+    mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
+    obs_exp = jnp.exp(obs_logprob - mx)
+    obs_state = _gather_obs(obs_exp, state_pdf) * mask  # [B,T,S]
+
+    a0 = init * obs_state[:, 0]
+    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
+    alpha0 = a0 / c0[:, None]
+    obs_rest = jnp.moveaxis(obs_state[:, 1:], 1, 0)  # [T-1, B, S]
+
+    def step(alpha, obs_t):
+        pair = alpha.reshape(b, n, 2).sum(-1)  # [B, N]
+        nxt_l = pair * self_loop_prob
+        nxt_e = jnp.pad((pair * next_w)[:, :-1], ((0, 0), (1, 0)))
+        a = jnp.stack([nxt_e, nxt_l], axis=-1).reshape(b, s) * obs_t
+        c = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
+        return a / c[:, None], jnp.log(c)
+
+    alpha_last, logcs = jax.lax.scan(step, alpha0, obs_rest)
+    log_final = jnp.log(jnp.maximum(jnp.sum(alpha_last * final, axis=-1), _TINY))
+    return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(mx[:, :, 0], axis=1)
+
+
 def forward_score_reference(
     obs_logprob: np.ndarray,
     trans: np.ndarray,

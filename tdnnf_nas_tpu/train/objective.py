@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from tdnnf_nas_tpu.core.config import Config
 from tdnnf_nas_tpu.graphs.supervision import ChunkSupervision
-from tdnnf_nas_tpu.ops.fwdbwd import DenGraphArrays, forward_score
+from tdnnf_nas_tpu.ops.fwdbwd import (
+    DenGraphArrays,
+    forward_score,
+    forward_score_linear,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,10 +58,31 @@ def chain_objective(
         chain_out, den.trans, den.state_pdf, den.init, den.final,
         leaky_coef=cfg.leaky_hmm_coef,
     )
-    logz_num = forward_score(
-        chain_out, sup.trans, sup.state_pdf, sup.init, sup.final, mask=sup.mask
+
+    # Numerator: one fwd+bwd total.  The linear-chain kernel computes
+    # logZ_num and its gradient gamma (= occupancy posteriors) on a
+    # stop-gradient copy; a first-order surrogate re-attaches the exact
+    # gradient (d logZ / d out == gamma) to the graph so the MMI term
+    # backpropagates correctly without a second numerator pass, and the
+    # same gamma serves as the xent soft targets.
+    def num_tot(o):
+        if sup.next_w is not None:
+            z = forward_score_linear(o, sup.next_w, sup.state_pdf, sup.init,
+                                     sup.final, sup.mask, sup.self_loop_prob)
+        else:
+            z = forward_score(o, sup.trans, sup.state_pdf, sup.init, sup.final,
+                              mask=sup.mask)
+        return jnp.sum(z), z
+
+    out_sg = jax.lax.stop_gradient(chain_out)
+    (_, logz_num), gamma = jax.value_and_grad(num_tot, has_aux=True)(out_sg)
+    gamma = jax.lax.stop_gradient(gamma)
+    logz_num_sur = (
+        jnp.sum(gamma * chain_out, axis=(1, 2))
+        + jax.lax.stop_gradient(logz_num - jnp.sum(gamma * out_sg, axis=(1, 2)))
     )
-    mmi = (jnp.sum(logz_num) - jnp.sum(logz_den)) / n_frames
+
+    mmi = (jnp.sum(logz_num_sur) - jnp.sum(logz_den)) / n_frames
     loss = -mmi
     metrics = {
         "objf_mmi": mmi,
@@ -71,15 +96,6 @@ def chain_objective(
         metrics["out_l2"] = l2
 
     if cfg.xent_regularize > 0.0:
-        # numerator occupancies as soft targets (constant w.r.t. params)
-        def num_tot(o):
-            return jnp.sum(
-                forward_score(o, sup.trans, sup.state_pdf, sup.init, sup.final,
-                              mask=sup.mask)
-            )
-
-        gamma = jax.grad(num_tot)(jax.lax.stop_gradient(chain_out))
-        gamma = jax.lax.stop_gradient(gamma)
         logp = jax.nn.log_softmax(xent_out, axis=-1)
         xent_objf = jnp.sum(gamma * logp) / n_frames
         loss = loss - cfg.xent_regularize * xent_objf

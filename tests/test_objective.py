@@ -1,0 +1,100 @@
+"""Chain objective: linear numerator kernel + surrogate gradient exactness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tdnnf_nas_tpu.graphs import (
+    ChainTopology, ContextIndependentTree, estimate_phone_lm,
+    build_denominator_graph, den_init_lookup, make_chunk_supervision,
+    stack_supervisions,
+)
+from tdnnf_nas_tpu.ops.fwdbwd import (
+    DenGraphArrays, forward_score, forward_score_linear, occupancy_posteriors,
+)
+from tdnnf_nas_tpu.train.objective import ChainObjectiveConfig, chain_objective
+
+
+def _setup(num_phones=5, b=3, t=12, seed=0):
+    rng = np.random.RandomState(seed)
+    seqs = [rng.randint(0, num_phones, size=8).tolist() for _ in range(30)]
+    lm = estimate_phone_lm(seqs, num_phones)
+    topo = ChainTopology(num_phones)
+    tree = ContextIndependentTree(num_phones)
+    den = build_denominator_graph(lm, topo, tree)
+    init_fn = den_init_lookup(den, num_phones)
+    sups = []
+    for i in range(b):
+        phones = rng.randint(0, num_phones, size=4).tolist()
+        begins = [0, 3, 6, 9]
+        ends = [2, 5, 8, t - 1]
+        sups.append(make_chunk_supervision(phones, begins, ends, lm, topo, tree,
+                                           t, 10, tol=1, den_init_fn=init_fn))
+    sup = stack_supervisions(sups)
+    obs = rng.randn(b, t, den.num_pdfs).astype(np.float32)
+    return den, sup, jnp.asarray(obs)
+
+
+def test_linear_kernel_matches_dense():
+    den, sup, obs = _setup()
+    dense = forward_score(obs, jnp.asarray(sup.trans), jnp.asarray(sup.state_pdf),
+                          jnp.asarray(sup.init), jnp.asarray(sup.final),
+                          mask=jnp.asarray(sup.mask))
+    lin = forward_score_linear(obs, jnp.asarray(sup.next_w),
+                               jnp.asarray(sup.state_pdf), jnp.asarray(sup.init),
+                               jnp.asarray(sup.final), jnp.asarray(sup.mask),
+                               sup.self_loop_prob)
+    np.testing.assert_allclose(np.asarray(lin), np.asarray(dense), rtol=2e-4,
+                               atol=2e-4)
+    # gradients agree too
+    gd = jax.grad(lambda o: jnp.sum(forward_score(
+        o, jnp.asarray(sup.trans), jnp.asarray(sup.state_pdf),
+        jnp.asarray(sup.init), jnp.asarray(sup.final),
+        mask=jnp.asarray(sup.mask))))(obs)
+    gl = jax.grad(lambda o: jnp.sum(forward_score_linear(
+        o, jnp.asarray(sup.next_w), jnp.asarray(sup.state_pdf),
+        jnp.asarray(sup.init), jnp.asarray(sup.final), jnp.asarray(sup.mask),
+        sup.self_loop_prob)))(obs)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gd), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_objective_gradient_is_posterior_difference():
+    """d(-loss)/d chain_out == (gamma_num - gamma_den)/N exactly (surrogate)."""
+    den, sup, obs = _setup(seed=1)
+    den_arr = DenGraphArrays.from_graph(den)
+    cfg = ChainObjectiveConfig(xent_regularize=0.0, leaky_hmm_coef=0.05)
+    b, t, p = obs.shape
+
+    def loss_fn(o):
+        loss, _ = chain_objective(o, o, den_arr, sup, cfg)
+        return loss
+
+    g = jax.grad(loss_fn)(obs)
+    _, gamma_num = occupancy_posteriors(
+        obs, jnp.asarray(sup.trans), jnp.asarray(sup.state_pdf),
+        jnp.asarray(sup.init), jnp.asarray(sup.final), mask=jnp.asarray(sup.mask))
+    _, gamma_den = occupancy_posteriors(
+        obs, den_arr.trans, den_arr.state_pdf, den_arr.init, den_arr.final,
+        leaky_coef=0.05)
+    expected = -(np.asarray(gamma_num) - np.asarray(gamma_den)) / (b * t)
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-3, atol=1e-6)
+
+
+def test_objective_value_and_xent():
+    den, sup, obs = _setup(seed=2)
+    den_arr = DenGraphArrays.from_graph(den)
+    cfg = ChainObjectiveConfig(xent_regularize=0.1, leaky_hmm_coef=0.1)
+    loss, metrics = chain_objective(obs, obs, den_arr, sup, cfg)
+    # value matches the direct computation
+    z_num = forward_score_linear(obs, jnp.asarray(sup.next_w),
+                                 jnp.asarray(sup.state_pdf), jnp.asarray(sup.init),
+                                 jnp.asarray(sup.final), jnp.asarray(sup.mask),
+                                 sup.self_loop_prob)
+    z_den = forward_score(obs, den_arr.trans, den_arr.state_pdf, den_arr.init,
+                          den_arr.final, leaky_coef=0.1)
+    b, t, _ = obs.shape
+    mmi = float((jnp.sum(z_num) - jnp.sum(z_den)) / (b * t))
+    np.testing.assert_allclose(float(metrics["objf_mmi"]), mmi, rtol=1e-5)
+    assert float(metrics["objf_xent"]) < 0  # log-probs
+    assert np.isfinite(float(loss))
