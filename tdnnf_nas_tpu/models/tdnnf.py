@@ -280,18 +280,34 @@ def apply_model(
     x, new_bn["tdnn1"] = _batchnorm(x, bn_state["tdnn1"], train)
     x = _dropout(x, cfg.dropout_proportion, next(dk) if dk else None, train)
 
+    chain, xent = tdnnf_stack_and_heads(cfg, params, bn_state, new_bn, x,
+                                        train, dk, consumed_left=1)
+    return chain, xent, new_bn
+
+
+def tdnnf_stack_and_heads(
+    cfg: TdnnfModelConfig, params, bn_state, new_bn, x, train, dk,
+    consumed_left: int = 1,
+):
+    """The tdnnf stack + prefinal/output heads on a hidden sequence x.
+
+    consumed_left: original-frame position of x's frame 0 (how much left
+    context the input block already consumed) — needed for the phase of the
+    rate-optimized subsample.  Shared by the plain and CNN front-end models.
+    """
+    dt = cfg.dtype
     # --- tdnnf stack (rate-optimized: drop to the subsampled rate once all
     # remaining strides are multiples of fs — SURVEY.md §5.7) ---
     fs = cfg.frame_subsampling_factor
     sub_at = _subsample_layer_index(cfg) if cfg.rate_optimize else len(cfg.stride_pairs)
-    left_total, _ = model_context(cfg)
     pairs = cfg.stride_pairs
+    left_total = consumed_left + sum(l for l, _ in pairs)
     subsampled = False
     for i, (l, r) in enumerate(pairs):
         if i == sub_at and not subsampled and fs > 1:
             # positions needed downstream are == left_total (mod fs) in
             # original coords; x's frame 0 sits at original position p_k
-            p_k = 1 + sum(pl for pl, _ in pairs[:i])
+            p_k = consumed_left + sum(pl for pl, _ in pairs[:i])
             phase = (left_total - p_k) % fs
             x = x[:, phase::fs]
             subsampled = True
@@ -338,7 +354,7 @@ def apply_model(
             jnp.matmul(h.astype(dt), op["w"].astype(dt),
                        preferred_element_type=jnp.float32) + op["b"]
         )
-    return outs[0], outs[1], new_bn
+    return outs[0], outs[1]
 
 
 def semiorth_param_paths(cfg: TdnnfModelConfig):
