@@ -58,7 +58,7 @@ def _fwd_kernel(obs_ref, trans_ref, init_ref, final_ref,
         alpha = alpha_scr[:]
         if leaky > 0.0:
             alpha = alpha + leaky * init_ref[:]
-        a = jnp.dot(alpha, trans_ref[:],
+        a = jnp.dot(alpha.astype(trans_ref.dtype), trans_ref[:],
                     preferred_element_type=jnp.float32) * obs
         c = jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), _TINY)
         alpha_scr[:] = a / c
@@ -94,7 +94,7 @@ def _bwd_kernel(obs_ref, trans_t_ref, alphas_ref, cs_ref, final_ref, gbar_ref,
 
     @pl.when(rt > 0)
     def _():
-        g = jnp.dot(g_scr[:], trans_t_ref[:],
+        g = jnp.dot(g_scr[:].astype(trans_t_ref.dtype), trans_t_ref[:],
                     preferred_element_type=jnp.float32)
         bar_a = g - jnp.sum(g * alpha_t, axis=-1, keepdims=True) + gbar
         grad_ref[0] = alpha_t * bar_a
@@ -114,6 +114,12 @@ def pallas_den_score_state(obs_log_state, trans, init, final, leaky: float):
     """
     logz, _, _ = _fwd_call(obs_log_state, trans, init, final, leaky)
     return logz
+
+
+def _mm_dtype(s: int):
+    """Transition-matrix VMEM dtype: f32 when it fits (<12MB incl. headroom),
+    bf16 for big graphs (e.g. S=2208 biphone: 19.5MB f32 > 16MB VMEM)."""
+    return jnp.float32 if s * s * 4 <= 12 * 2**20 else jnp.bfloat16
 
 
 def _fwd_call(obs_log_state, trans, init, final, leaky):
@@ -143,7 +149,7 @@ def _fwd_call(obs_log_state, trans, init, final, leaky):
             pltpu.VMEM((b, s), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
         ],
-    )(obs_tm, trans.astype(jnp.float32), init.astype(jnp.float32)[None, :],
+    )(obs_tm, trans.astype(_mm_dtype(s)), init.astype(jnp.float32)[None, :],
       final.astype(jnp.float32)[None, :])
     return logz[:, 0], alphas, cs
 
@@ -178,7 +184,7 @@ def _vjp_bwd(leaky, res, gbar):
         ],
         out_shape=[jax.ShapeDtypeStruct((t, b, s), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((b, s), jnp.float32)],
-    )(obs_rev, trans.T.astype(jnp.float32), alphas_rev, cs_rev,
+    )(obs_rev, trans.T.astype(_mm_dtype(s)), alphas_rev, cs_rev,
       final.astype(jnp.float32)[None, :], gbar_b)
     grad_log = jnp.moveaxis(jnp.flip(grad_rev, axis=0), 0, 1)  # [B,T,S]
     return (grad_log, None, None, None)
