@@ -51,7 +51,7 @@ def _fwd_kernel(obs_ref, trans_ref, init_ref, final_ref,
         c0 = jnp.maximum(jnp.sum(a0, axis=-1, keepdims=True), _TINY)
         alpha_scr[:] = a0 / c0
         acc_scr[:] = jnp.log(c0)
-        cs_ref[0] = c0[:, 0]
+        cs_ref[0, 0] = c0[:, 0]
 
     @pl.when(t > 0)
     def _():
@@ -63,7 +63,7 @@ def _fwd_kernel(obs_ref, trans_ref, init_ref, final_ref,
         c = jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), _TINY)
         alpha_scr[:] = a / c
         acc_scr[:] = acc_scr[:] + jnp.log(c)
-        cs_ref[0] = c[:, 0]
+        cs_ref[0, 0] = c[:, 0]
 
     alphas_ref[0] = alpha_scr[:]
 
@@ -101,7 +101,7 @@ def _bwd_kernel(obs_ref, trans_t_ref, alphas_ref, cs_ref, final_ref, gbar_ref,
         g_scr[:] = bar_a
 
     # carrier for the next (older) frame: v = (abar_t / c_t) * obs_t
-    c = cs_ref[0][:, None]
+    c = cs_ref[0, 0][:, None]
     g_scr[:] = (g_scr[:] / c) * jnp.exp(obs_ref[0])
 
 
@@ -138,12 +138,12 @@ def _fwd_call(obs_log_state, trans, init, final, leaky):
         out_specs=[
             pl.BlockSpec((1, b, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, s), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t, b), jnp.float32),
+            jax.ShapeDtypeStruct((t, 1, b), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, s), jnp.float32),
@@ -175,7 +175,7 @@ def _vjp_bwd(leaky, res, gbar):
             pl.BlockSpec((1, b, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
