@@ -67,7 +67,10 @@ def main():
     # either way for throughput purposes
     assert len(chunks) >= batch_size, len(chunks)
 
+    from tdnnf_nas_tpu.train import ChainObjectiveConfig
+
     trainer_cfg = TrainerConfig(
+        objective=ChainObjectiveConfig(pallas_den=True),
         optimizer=OptimizerConfig(kind="adam", lr_initial=1e-3, lr_final=1e-4,
                                   num_steps=100000),
     )

@@ -1,0 +1,185 @@
+"""Recurrent (LSTM) language model for n-best rescoring.
+
+Equivalent of the reference's kaldi-rnnlm stage
+(`local/rnnlm/run_tdnn_lstm_fbk40_mod_hasfisher_large_drop_e40.sh`:
+TDNN-LSTM LM, embed 1024 / cell 2048, trained on SWBD+Fisher text, used for
+lattice/n-best rescoring).  Here: a pure-JAX LSTM LM (manual cell under
+`lax.scan`, Adam, dropout), with a `score()` interface compatible with
+`decode/rescore.rescore_nbest` (log10, like the n-gram LM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdnnf_nas_tpu.core.config import Config
+
+_LOG10E = 1.0 / math.log(10.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RnnLMConfig(Config):
+    vocab_size: int = 100  # real words; BOS/EOS appended internally
+    embed_dim: int = 64
+    hidden_dim: int = 128
+    dropout: float = 0.15  # reference uses 0.15
+    tie_embeddings: bool = False
+
+    @property
+    def bos(self) -> int:
+        return self.vocab_size
+
+    @property
+    def eos(self) -> int:
+        return self.vocab_size + 1
+
+    @property
+    def full_vocab(self) -> int:
+        return self.vocab_size + 2
+
+
+def init_rnnlm(cfg: RnnLMConfig, key: jax.Array):
+    k = jax.random.split(key, 5)
+    v, e, h = cfg.full_vocab, cfg.embed_dim, cfg.hidden_dim
+    params = {
+        "embed": jax.random.normal(k[0], (v, e)) * 0.1,
+        "lstm": {
+            "wx": jax.random.normal(k[1], (e, 4 * h)) / np.sqrt(e),
+            "wh": jax.random.normal(k[2], (h, 4 * h)) / np.sqrt(h),
+            "b": jnp.zeros((4 * h,)),
+        },
+        "out": {
+            "w": jax.random.normal(k[3], (h, v)) / np.sqrt(h),
+            "b": jnp.zeros((v,)),
+        },
+    }
+    return params
+
+
+def _lstm_scan(params, x, h0=None, c0=None):
+    """x [B,T,E] -> hidden [B,T,H]."""
+    b, t, _ = x.shape
+    h_dim = params["lstm"]["wh"].shape[0]
+    h = jnp.zeros((b, h_dim)) if h0 is None else h0
+    c = jnp.zeros((b, h_dim)) if c0 is None else c0
+
+    def step(carry, x_t):
+        h, c = carry
+        gates = x_t @ params["lstm"]["wx"] + h @ params["lstm"]["wh"] + params["lstm"]["b"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (_, _), hs = jax.lax.scan(step, (h, c), jnp.moveaxis(x, 1, 0))
+    return jnp.moveaxis(hs, 0, 1)
+
+
+def rnnlm_logits(cfg: RnnLMConfig, params, tokens: jax.Array,
+                 dropout_key=None, train: bool = False):
+    """tokens [B,T] (inputs, BOS-prefixed) -> next-token logits [B,T,V]."""
+    x = params["embed"][tokens]
+    if train and cfg.dropout > 0 and dropout_key is not None:
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(dropout_key, keep, x.shape)
+        x = x * mask / keep
+    h = _lstm_scan(params, x)
+    if cfg.tie_embeddings:
+        return h @ params["embed"].T
+    return h @ params["out"]["w"] + params["out"]["b"]
+
+
+def _pad_batch(sents: Sequence[Sequence[int]], cfg: RnnLMConfig):
+    t = max(len(s) for s in sents) + 1  # +1 for EOS target
+    inp = np.full((len(sents), t), cfg.eos, np.int32)
+    tgt = np.full((len(sents), t), -1, np.int32)  # -1 = ignore
+    for i, s in enumerate(sents):
+        inp[i, 0] = cfg.bos
+        inp[i, 1 : len(s) + 1] = s
+        tgt[i, : len(s)] = s
+        tgt[i, len(s)] = cfg.eos
+    return jnp.asarray(inp[:, :t]), jnp.asarray(tgt)
+
+
+def train_rnnlm(
+    sentences: Sequence[Sequence[int]],
+    cfg: RnnLMConfig,
+    num_steps: int = 200,
+    batch_size: int = 16,
+    lr: float = 2e-3,
+    seed: int = 0,
+):
+    """Adam training; returns (params, final_perplexity)."""
+    params = init_rnnlm(cfg, jax.random.PRNGKey(seed))
+    m = jax.tree.map(jnp.zeros_like, params)
+    v = jax.tree.map(jnp.zeros_like, params)
+    rng = np.random.RandomState(seed)
+
+    @jax.jit
+    def step(params, m, v, inp, tgt, t_step, dk):
+        def loss_fn(p):
+            logits = rnnlm_logits(cfg, p, inp, dropout_key=dk, train=True)
+            mask = (tgt >= 0)
+            tgt_safe = jnp.maximum(tgt, 0)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(lp, tgt_safe[..., None], axis=-1)[..., 0]
+            nll = jnp.where(mask, nll, 0.0)
+            return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        t = t_step + 1.0
+        m = jax.tree.map(lambda a, b: 0.9 * a + 0.1 * b, m, g)
+        v = jax.tree.map(lambda a, b: 0.999 * a + 0.001 * b * b, v, g)
+        params = jax.tree.map(
+            lambda p, m_, v_: p - lr * (m_ / (1 - 0.9**t))
+            / (jnp.sqrt(v_ / (1 - 0.999**t)) + 1e-8),
+            params, m, v,
+        )
+        return params, m, v, loss
+
+    loss = None
+    key = jax.random.PRNGKey(seed + 1)
+    # bucket to a fixed max length for stable jit shapes
+    max_len = max(len(s) for s in sentences)
+    for i in range(num_steps):
+        idx = rng.choice(len(sentences), batch_size)
+        batch = [list(sentences[j])[:max_len] for j in idx]
+        inp, tgt = _pad_batch(batch, cfg)
+        # pad to the global max length => single compile
+        pad_t = max_len + 1
+        if inp.shape[1] < pad_t:
+            pad = pad_t - inp.shape[1]
+            inp = jnp.pad(inp, ((0, 0), (0, pad)), constant_values=cfg.eos)
+            tgt = jnp.pad(tgt, ((0, 0), (0, pad)), constant_values=-1)
+        key, dk = jax.random.split(key)
+        params, m, v, loss = step(params, m, v, inp, tgt, jnp.asarray(float(i)), dk)
+    ppl = float(jnp.exp(loss)) if loss is not None else float("inf")
+    return params, ppl
+
+
+class RnnLMScorer:
+    """rescore_nbest-compatible scorer (log10 sentence scores)."""
+
+    def __init__(self, cfg: RnnLMConfig, params):
+        self.cfg = cfg
+        self.params = params
+        self._score_jit = jax.jit(self._score_batch)
+
+    def _score_batch(self, inp, tgt):
+        logits = rnnlm_logits(self.cfg, self.params, inp)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        mask = (tgt >= 0)
+        tgt_safe = jnp.maximum(tgt, 0)
+        tok_lp = jnp.take_along_axis(lp, tgt_safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(jnp.where(mask, tok_lp, 0.0), axis=-1)
+
+    def score(self, words: Sequence[int]) -> float:
+        """log10 P(words </s> | <s>)."""
+        inp, tgt = _pad_batch([list(int(w) for w in words)], self.cfg)
+        return float(self._score_jit(inp, tgt)[0]) * _LOG10E

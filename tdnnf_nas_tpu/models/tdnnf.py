@@ -241,12 +241,16 @@ def apply_model(
     ivectors: Optional[jax.Array] = None,
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
+    post_bn_scales=None,
 ):
     """Forward pass.
 
     Args:
       feats: [B, T_in, feat_dim] — T_in from chunk_input_frames().
       ivectors: [B, ivector_dim] per-chunk i-vectors (cfg.ivector_dim > 0).
+      post_bn_scales: optional {layer_name: [hidden]} multiplicative scales
+        applied after each layer's batchnorm (LHUC adaptation,
+        models/lhuc.py).
 
     Returns:
       (chain_logits [B, T_out, P], xent_logits [B, T_out, P], new_bn_state)
@@ -278,16 +282,19 @@ def apply_model(
                    preferred_element_type=jnp.float32) + params["tdnn1"]["b"]
     x = jax.nn.relu(x)
     x, new_bn["tdnn1"] = _batchnorm(x, bn_state["tdnn1"], train)
+    if post_bn_scales is not None and "tdnn1" in post_bn_scales:
+        x = x * post_bn_scales["tdnn1"]
     x = _dropout(x, cfg.dropout_proportion, next(dk) if dk else None, train)
 
     chain, xent = tdnnf_stack_and_heads(cfg, params, bn_state, new_bn, x,
-                                        train, dk, consumed_left=1)
+                                        train, dk, consumed_left=1,
+                                        post_bn_scales=post_bn_scales)
     return chain, xent, new_bn
 
 
 def tdnnf_stack_and_heads(
     cfg: TdnnfModelConfig, params, bn_state, new_bn, x, train, dk,
-    consumed_left: int = 1,
+    consumed_left: int = 1, post_bn_scales=None,
 ):
     """The tdnnf stack + prefinal/output heads on a hidden sequence x.
 
@@ -322,6 +329,8 @@ def tdnnf_stack_and_heads(
                              compute_dtype=dt)
         cur = jax.nn.relu(cur)
         cur, new_bn[name] = _batchnorm(cur, bn_state[name], train)
+        if post_bn_scales is not None and name in post_bn_scales:
+            cur = cur * post_bn_scales[name]
         cur = _dropout(cur, cfg.dropout_proportion, next(dk) if dk else None, train)
         # bypass: trim prev to cur's (shorter) time extent
         prev = x[:, l : x.shape[1] - r] if (l or r) else x

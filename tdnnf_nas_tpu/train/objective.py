@@ -37,6 +37,9 @@ class ChainObjectiveConfig(Config):
     xent_regularize: float = 0.1
     leaky_hmm_coef: float = 0.1
     out_l2_regularize: float = 0.0  # Kaldi --chain.l2-regularize (on outputs)
+    # use the fused Pallas denominator kernel (ops/pallas_fwdbwd.py);
+    # TPU-only — leave False for CPU/interpret runs
+    pallas_den: bool = False
 
 
 def chain_objective(
@@ -54,10 +57,18 @@ def chain_objective(
     b, t, p = chain_out.shape
     n_frames = b * t
 
-    logz_den = forward_score(
-        chain_out, den.trans, den.state_pdf, den.init, den.final,
-        leaky_coef=cfg.leaky_hmm_coef,
-    )
+    if cfg.pallas_den:
+        from tdnnf_nas_tpu.ops.pallas_fwdbwd import pallas_forward_score
+
+        logz_den = pallas_forward_score(
+            chain_out, den.trans, den.state_pdf, den.init, den.final,
+            leaky_coef=cfg.leaky_hmm_coef,
+        )
+    else:
+        logz_den = forward_score(
+            chain_out, den.trans, den.state_pdf, den.init, den.final,
+            leaky_coef=cfg.leaky_hmm_coef,
+        )
 
     # Numerator: one fwd+bwd total.  The linear-chain kernel computes
     # logZ_num and its gradient gamma (= occupancy posteriors) on a

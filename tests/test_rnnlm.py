@@ -1,0 +1,44 @@
+"""RNNLM training + rescoring tests."""
+
+import numpy as np
+
+from tdnnf_nas_tpu.lm.rnnlm import RnnLMConfig, train_rnnlm, RnnLMScorer
+from tdnnf_nas_tpu.decode.rescore import rescore_nbest
+from tdnnf_nas_tpu.decode.wfst import WordLM
+
+
+def _patterned_sentences(rng, n=300):
+    """Sentences with a strong sequential pattern: w -> (w+1) % 10."""
+    out = []
+    for _ in range(n):
+        start = rng.randint(0, 10)
+        length = rng.randint(3, 7)
+        out.append([(start + i) % 10 for i in range(length)])
+    return out
+
+
+def test_rnnlm_learns_pattern():
+    rng = np.random.RandomState(0)
+    sents = _patterned_sentences(rng)
+    cfg = RnnLMConfig(vocab_size=10, embed_dim=16, hidden_dim=32, dropout=0.0)
+    params, ppl = train_rnnlm(sents, cfg, num_steps=150, batch_size=16, lr=5e-3)
+    assert ppl < 5.0, ppl  # far below uniform (10)
+    scorer = RnnLMScorer(cfg, params)
+    good = scorer.score([3, 4, 5, 6])
+    bad = scorer.score([3, 9, 1, 7])
+    assert good > bad + 1.0, (good, bad)
+
+
+def test_rnnlm_rescoring_interface():
+    rng = np.random.RandomState(1)
+    sents = _patterned_sentences(rng)
+    cfg = RnnLMConfig(vocab_size=10, embed_dim=16, hidden_dim=32, dropout=0.0)
+    params, _ = train_rnnlm(sents, cfg, num_steps=120, batch_size=16, lr=5e-3)
+    scorer = RnnLMScorer(cfg, params)
+    # fake n-best: pattern-following hyp vs random hyp, equal first-pass score
+    wlm = WordLM(probs=np.full((11, 10), 0.08, np.float32),
+                 final=np.full((11,), 0.2, np.float32), num_words=10)
+    nbest = [([2, 3, 4], -50.0), ([2, 8, 5], -50.0)]
+    rescored = rescore_nbest(nbest, wlm, scorer, lm_scale=1.0,
+                             word_to_token=lambda w: w)
+    assert rescored[0][0] == [2, 3, 4]
