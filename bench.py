@@ -40,15 +40,17 @@ def main():
         TrainerConfig, OptimizerConfig, init_train_state, make_train_step,
     )
 
-    batch_size = 64
+    import os
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     chunk_width = 50  # output frames; 150 input frames = 1.5 s at 8 kHz
     num_phones = 46  # Switchboard phone-set size
 
     # Switchboard-scale corpus stats + a biphone tree sized to the reference's
     # 6034 pdfs (`run_tdnn_7q_fbk_40_manual.sh:26`)
     corpus_cfg = SyntheticCorpusConfig(
-        num_utts=48, num_phones=num_phones, feat_dim=40, min_phones=10,
-        max_phones=30, mean_dur=4.0, seed=0,
+        num_utts=max(48, batch_size), num_phones=num_phones, feat_dim=40,
+        min_phones=10, max_phones=30, mean_dur=4.0, seed=0,
     )
     utts, phone_seqs, _, topo = make_synthetic_corpus(corpus_cfg)
     tree = BiphoneTree(num_phones, num_leaves=6034 - num_phones)
