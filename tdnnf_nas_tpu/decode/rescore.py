@@ -18,7 +18,6 @@ from __future__ import annotations
 import math
 from typing import List, Sequence, Tuple
 
-import numpy as np
 
 from tdnnf_nas_tpu.decode.wfst import WordLM
 from tdnnf_nas_tpu.lm.ngram import NGramLM

@@ -8,7 +8,7 @@ corpus-level substitution/insertion/deletion accounting.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Trees map (context, phone, pdf-class) -> pdf id.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+
 
 import numpy as np
 

@@ -18,7 +18,7 @@ branches with the same coefficient modes as the TDNN-F supernet
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ On a single host this degrades to the plain mesh path (tests use the
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import jax
 import numpy as np

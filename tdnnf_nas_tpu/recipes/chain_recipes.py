@@ -23,7 +23,7 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -51,13 +51,12 @@ from tdnnf_nas_tpu.nas import (
     extract_offsets,
 )
 from tdnnf_nas_tpu.ops.fwdbwd import DenGraphArrays
-from tdnnf_nas_tpu.parallel import make_mesh, put_batch, put_replicated
+from tdnnf_nas_tpu.parallel import put_batch, put_replicated
 from tdnnf_nas_tpu.train import (
     TrainerConfig,
     TrainState,
     init_train_state,
     make_train_step,
-    make_valid_step,
 )
 
 

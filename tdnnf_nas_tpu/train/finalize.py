@@ -15,7 +15,7 @@ Equivalents of the reference's:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

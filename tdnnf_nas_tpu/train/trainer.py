@@ -18,8 +18,8 @@ model averaging (`common.py:108-190`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp
