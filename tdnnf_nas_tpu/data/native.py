@@ -61,6 +61,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.edit_distance_batch.argtypes = [i32p, i32p, i32p, i32p,
                                             ctypes.c_int32, i32p]
         lib.edit_distance_batch.restype = None
+        lib.decode_nbest.argtypes = [
+            f32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, f32p, i32p, f32p, f32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p,
+        ]
+        lib.decode_nbest.restype = ctypes.c_int32
         _lib = lib
         return _lib
 
@@ -155,6 +162,53 @@ def den_init_tables(den_graph, num_phones: int):
         raise ValueError("den_init_tables supports the CI den layout only")
     return (np.asarray(g.init[:num_phones], np.float32),
             np.asarray(g.init[num_phones:], np.float32))
+
+
+def nbest_decode_native(
+    obs_logprob: np.ndarray,  # [T, P]
+    decoding_graph,  # decode.wfst.DecodingGraph
+    n: int = 10,
+    acoustic_scale: float = 1.0,
+    max_pops: int = 200000,
+    max_words: int = 128,
+):
+    """Native n-best decode; same semantics as decode.nbest.nbest_decode
+    (tested equivalent).  Returns [(words, score)] best-first."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    g = decoding_graph.graph
+    s = g.num_states
+    with np.errstate(divide="ignore"):
+        lt = np.where(g.trans > 0, np.log(np.maximum(g.trans, 1e-30)), -1e30)
+        li = np.where(g.init > 0, np.log(np.maximum(g.init, 1e-30)), -1e30)
+        lf = np.where(g.final > 0, np.log(np.maximum(g.final, 1e-30)), -1e30)
+    # CSR successors
+    offsets = np.zeros((s + 1,), np.int32)
+    dsts, ws = [], []
+    for st in range(s):
+        nz = np.nonzero(g.trans[st] > 0)[0]
+        offsets[st + 1] = offsets[st] + len(nz)
+        dsts.append(nz)
+        ws.append(lt[st, nz])
+    dst = np.concatenate(dsts).astype(np.int32) if dsts else np.zeros(1, np.int32)
+    logw = np.concatenate(ws).astype(np.float32) if ws else np.zeros(1, np.float32)
+    obs = np.ascontiguousarray(obs_logprob, np.float32)
+    t, p = obs.shape
+    out_words = np.zeros((n, max_words), np.int32)
+    out_lens = np.zeros((n,), np.int32)
+    out_scores = np.zeros((n,), np.float32)
+    found = lib.decode_nbest(
+        _f32p(obs), t, p, _i32p(offsets), _i32p(dst), _f32p(logw),
+        _i32p(np.ascontiguousarray(g.state_pdf, np.int32)),
+        _f32p(np.ascontiguousarray(li, np.float32)),
+        _f32p(np.ascontiguousarray(lf, np.float32)),
+        _i32p(np.ascontiguousarray(decoding_graph.word_of_state, np.int32)),
+        s, n, ctypes.c_float(acoustic_scale), max_pops, max_words,
+        _i32p(out_words), _i32p(out_lens), _f32p(out_scores),
+    )
+    return [(out_words[i, : out_lens[i]].tolist(), float(out_scores[i]))
+            for i in range(found)]
 
 
 def edit_distance_batch_native(refs: List[Sequence[int]], hyps: List[Sequence[int]]):

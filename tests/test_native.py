@@ -85,3 +85,28 @@ def test_native_edit_distance():
         total_py = c["sub"] + c["ins"] + c["del"]
         assert total_native == total_py, (i, out[i], c)
         assert out[i, 3] + out[i, 0] + out[i, 2] == len(r)
+
+
+def test_native_nbest_matches_python():
+    from tdnnf_nas_tpu.data.synthetic import WordCorpusConfig, make_word_corpus
+    from tdnnf_nas_tpu.decode.wfst import Lexicon, estimate_word_lm, build_decoding_graph
+    from tdnnf_nas_tpu.decode.nbest import nbest_decode
+    from tdnnf_nas_tpu.data.native import nbest_decode_native
+
+    cfg = WordCorpusConfig(num_utts=6, vocab_size=8)
+    utts, prons, word_seqs, _, tree, topo = make_word_corpus(cfg)
+    dg = build_decoding_graph(Lexicon(prons),
+                              estimate_word_lm(word_seqs, cfg.vocab_size),
+                              topo, tree)
+    rng = np.random.RandomState(0)
+    for utt in utts[:3]:
+        t = len(utt.pdf_align)
+        obs = np.full((t, tree.num_pdfs), -5.0, np.float32)
+        obs[np.arange(t), utt.pdf_align] = 0.0
+        obs += rng.randn(t, tree.num_pdfs).astype(np.float32) * 0.5
+        py = nbest_decode(obs, dg, n=5)
+        nat = nbest_decode_native(obs, dg, n=5)
+        assert len(nat) == len(py)
+        for (wp, sp), (wn, sn) in zip(py, nat):
+            assert wp == wn, (wp, wn)
+            np.testing.assert_allclose(sp, sn, rtol=1e-4, atol=1e-3)
