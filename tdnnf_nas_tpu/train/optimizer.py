@@ -20,6 +20,7 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from tdnnf_nas_tpu.core.config import Config
@@ -27,7 +28,7 @@ from tdnnf_nas_tpu.core.config import Config
 
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig(Config):
-    kind: str = "adam"  # adam | sgd
+    kind: str = "adam"  # adam | sgd | adafactor
     lr_initial: float = 1e-3
     lr_final: float = 1e-4
     num_steps: int = 1000
@@ -66,6 +67,14 @@ def make_optimizer(
         zeros = jax.tree.map(jnp.zeros_like, params)
         if cfg.kind == "adam":
             return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params)}
+        if cfg.kind == "adafactor":
+            def factored_zeros(p):
+                if p.ndim >= 2:
+                    rows = int(np.prod(p.shape[:-1]))
+                    return {"vr": jnp.zeros((rows,)), "vc": jnp.zeros((p.shape[-1],))}
+                return {"v": jnp.zeros_like(p)}
+            return {"f": jax.tree.map(factored_zeros, params,
+                                      is_leaf=lambda x: hasattr(x, "ndim"))}
         if cfg.momentum > 0:
             return {"m": zeros}
         return {}
@@ -84,6 +93,35 @@ def make_optimizer(
                 lambda m_, v_: -lr * (m_ / bc1) / (jnp.sqrt(v_ / bc2) + cfg.eps), m, v
             )
             new_state = {"m": m, "v": v}
+        elif cfg.kind == "adafactor":
+            # Factored second-moment preconditioning (Adafactor; the
+            # Kronecker-factored cousin of Kaldi's in/out-side natural
+            # gradient, OnlineNaturalGradient — nnet-tdnn-component.cc:
+            # 592-624): per 2-D weight keep row/col EMAs of g^2 and
+            # precondition by their rank-1 reconstruction.
+            b2 = cfg.beta2
+
+            def upd(f, g):
+                if g.ndim >= 2:
+                    g2d = g.reshape(-1, g.shape[-1])
+                    g2 = g2d * g2d + 1e-30
+                    vr = b2 * f["vr"] + (1 - b2) * jnp.mean(g2, axis=1)
+                    vc = b2 * f["vc"] + (1 - b2) * jnp.mean(g2, axis=0)
+                    vhat = jnp.outer(vr, vc) / jnp.maximum(jnp.mean(vr), 1e-30)
+                    d = (-lr * g2d / (jnp.sqrt(vhat) + cfg.eps)).reshape(g.shape)
+                    return {"vr": vr, "vc": vc}, d
+                v = b2 * f["v"] + (1 - b2) * g * g
+                return {"v": v}, -lr * g / (jnp.sqrt(v) + cfg.eps)
+
+            flat_f, treedef = jax.tree_util.tree_flatten(
+                opt_state["f"], is_leaf=lambda x: isinstance(x, dict) and
+                ("vr" in x or "v" in x))
+            flat_g = jax.tree_util.tree_leaves(grads)
+            pairs = [upd(f, g) for f, g in zip(flat_f, flat_g)]
+            new_state = {"f": jax.tree_util.tree_unflatten(
+                treedef, [p[0] for p in pairs])}
+            deltas = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(grads), [p[1] for p in pairs])
         elif cfg.momentum > 0:
             m = jax.tree.map(lambda m_, g: cfg.momentum * m_ + g, opt_state["m"], grads)
             deltas = jax.tree.map(lambda m_: -lr * m_, m)

@@ -98,3 +98,30 @@ def test_objective_value_and_xent():
     np.testing.assert_allclose(float(metrics["objf_mmi"]), mmi, rtol=1e-5)
     assert float(metrics["objf_xent"]) < 0  # log-probs
     assert np.isfinite(float(loss))
+
+
+def test_adafactor_optimizer_runs_and_descends():
+    """Factored-preconditioner optimizer decreases a simple quadratic."""
+    import jax
+    from tdnnf_nas_tpu.train.optimizer import OptimizerConfig, make_optimizer
+
+    cfg = OptimizerConfig(kind="adafactor", lr_initial=0.1, lr_final=0.1,
+                          num_steps=100, max_change_per_leaf=10.0,
+                          max_change_global=100.0)
+    init_fn, update_fn = make_optimizer(cfg)
+    rng = np.random.RandomState(0)
+    target = jnp.asarray(rng.randn(12, 8).astype(np.float32))
+    params = {"w": jnp.zeros((12, 8)), "k3": jnp.zeros((2, 6, 8)),
+              "b": jnp.zeros((8,))}
+    state = init_fn(params)
+
+    def loss(p):
+        return (jnp.sum((p["w"] - target) ** 2)
+                + jnp.sum((p["k3"] - 1.0) ** 2) + jnp.sum((p["b"] + 2.0) ** 2))
+
+    l0 = float(loss(params))
+    for i in range(50):
+        g = jax.grad(loss)(params)
+        params, state = update_fn(g, state, params, jnp.asarray(i))
+    l1 = float(loss(params))
+    assert l1 < 0.2 * l0, (l0, l1)
