@@ -82,6 +82,11 @@ class DartsModelConfig(Config):
     search_bottleneck: bool = False
     bottleneck_groups: Tuple[int, ...] = BOTTLENECK_GROUPS
     sample_per_sequence: bool = False
+    # compile the homogeneous offsets-supernet stack as ONE lax.scan layer
+    # body instead of L unrolled layers (~L x faster compile, identical
+    # math; sampling uses per-layer folded keys).  Applies only when
+    # search_offsets is on (layers are then structurally identical).
+    scan_layers: bool = True
 
     @property
     def num_candidates(self) -> int:
@@ -258,6 +263,109 @@ def expected_flops(alphas_bottleneck: jax.Array, cfg: DartsModelConfig, tau=1.0)
     return jnp.sum(coef * dims)
 
 
+def _scan_offset_stack(
+    cfg: DartsModelConfig, params, alphas, bn_state, x, mode, tau, key,
+    train, bn_frozen, dropout_key,
+):
+    """The tdnnf-DARTS stack as one lax.scan over layers.
+
+    All offsets-supernet layers are structurally identical (K branches,
+    same dims), so the layer body compiles ONCE.  The time axis shrinks by
+    span=2(K-1) per layer; to keep the scan carry static-shaped, x stays at
+    its input length with a left-aligned valid region (frame t of layer i's
+    input = original position t + i*(K-1) + ...), garbage beyond it, and BN
+    statistics masked to the valid frames — bit-identical to the unrolled
+    stack (tested) because valid outputs only consume valid inputs.
+
+    Returns (x_valid, new_bn_dict, coefs_dict).
+    """
+    b_cfg = cfg.base
+    dt = b_cfg.dtype
+    l_num = cfg.num_layers
+    k = cfg.num_candidates
+    span = 2 * (k - 1)
+    t0 = x.shape[1]
+    bn_train = train and not bn_frozen
+    batch = x.shape[0] if cfg.sample_per_sequence else None
+
+    w_lin = jnp.stack([params[f"tdnnf{i + 2}"]["linear"] for i in range(l_num)])
+    w_aff = jnp.stack([params[f"tdnnf{i + 2}"]["affine"] for i in range(l_num)])
+    w_b = jnp.stack([params[f"tdnnf{i + 2}"]["affine_b"] for i in range(l_num)])
+    bn_mean = jnp.stack([bn_state[f"tdnnf{i + 2}"]["mean"] for i in range(l_num)])
+    bn_var = jnp.stack([bn_state[f"tdnnf{i + 2}"]["var"] for i in range(l_num)])
+    a_lin = alphas["offsets_linear"]
+    a_aff = alphas["offsets_affine"]
+    a_bot = alphas.get("bottleneck") if cfg.search_bottleneck else None
+    groups = cfg.bottleneck_groups
+    lin_off = tuple(range(-(k - 1), 1))
+    aff_off = tuple(range(0, k))
+    t_out0 = t0 - span
+    frame_idx = jnp.arange(t_out0)
+
+    def body(x, inputs):
+        (i, wl, wa, wb, al, aa, bm, bv, ab) = inputs
+        lk = jax.random.fold_in(key, i) if key is not None else None
+        lk1, lk2, lk3, lkd = (jax.random.split(lk, 4) if lk is not None
+                              else (None, None, None, None))
+        c_lin = branch_coefs(al, mode, tau, lk1, k - 1, batch)
+        c_aff = branch_coefs(aa, mode, tau, lk2, 0, batch)
+        w_lin_o = jnp.flip(wl, axis=0)
+        c_lin_o = jnp.flip(c_lin, axis=-1)
+        bottleneck = spliced_linear(x, w_lin_o, lin_off, coef=c_lin_o,
+                                    compute_dtype=dt)
+        if ab is not None:
+            c_bn = branch_coefs(ab, mode, tau, lk3, None, batch)
+            m = _bottleneck_mask(c_bn, groups)
+            bottleneck = bottleneck * (m[None, None, :] if m.ndim == 1
+                                       else m[:, None, :])
+        cur = spliced_linear(bottleneck, wa, aff_off, bias=wb, coef=c_aff,
+                             compute_dtype=dt)
+        cur = jax.nn.relu(cur)
+        # masked batchnorm over the valid frames of this layer's output
+        valid = (frame_idx < (t0 - (i + 1) * span))[None, :, None]
+        if bn_train:
+            vm = valid.astype(cur.dtype)
+            cnt = jnp.maximum(cur.shape[0] * jnp.sum(vm), 1.0)
+            mean = jnp.sum(cur * vm, axis=(0, 1)) / cnt
+            var = jnp.sum(jnp.square(cur) * vm, axis=(0, 1)) / cnt - mean**2
+            new_bm = base.BN_DECAY * bm + (1 - base.BN_DECAY) * mean
+            new_bv = base.BN_DECAY * bv + (1 - base.BN_DECAY) * var
+        else:
+            mean, var = bm, bv
+            new_bm, new_bv = bm, bv
+        cur = (cur - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + base.BN_EPS)
+        cur = base._dropout(cur, b_cfg.dropout_proportion, lkd, train)
+        prev = x[:, (k - 1): (k - 1) + t_out0]
+        out = cur + b_cfg.bypass_scale * prev
+        # pad back to t0 (garbage region grows by span per layer)
+        out = jnp.pad(out, ((0, 0), (0, span), (0, 0)))
+        return out, (new_bm, new_bv, c_lin, c_aff)
+
+    xs = (jnp.arange(l_num), w_lin, w_aff, w_b, a_lin, a_aff, bn_mean, bn_var,
+          (a_bot if a_bot is not None else jnp.zeros((l_num, 0))))
+    if a_bot is None:
+        # avoid passing an unused 0-width array through branch_coefs
+        xs = (jnp.arange(l_num), w_lin, w_aff, w_b, a_lin, a_aff, bn_mean,
+              bn_var)
+
+        def body_nb(x, inputs):
+            (i, wl, wa, wb, al, aa, bm, bv) = inputs
+            return body(x, (i, wl, wa, wb, al, aa, bm, bv, None))
+
+        x, (nbm, nbv, cl, ca) = jax.lax.scan(body_nb, x, xs)
+    else:
+        x, (nbm, nbv, cl, ca) = jax.lax.scan(body, x, xs)
+    x = x[:, : t0 - l_num * span]
+    new_bn = {}
+    coefs = {}
+    for i in range(l_num):
+        name = f"tdnnf{i + 2}"
+        new_bn[name] = {"mean": nbm[i], "var": nbv[i]}
+        coefs[f"{name}_linear"] = cl[i]
+        coefs[f"{name}_affine"] = ca[i]
+    return x, new_bn, coefs
+
+
 def apply_supernet(
     cfg: DartsModelConfig,
     params,
@@ -313,6 +421,16 @@ def apply_supernet(
     x, new_bn["tdnn1"] = base._batchnorm(x, bn_state["tdnn1"], bn_train)
     x = base._dropout(x, b.dropout_proportion, next(dk) if dk else None, train)
 
+    if cfg.search_offsets and cfg.scan_layers:
+        x, stack_bn, stack_coefs = _scan_offset_stack(
+            cfg, params, alphas, bn_state, x, mode, tau, key, train,
+            bn_frozen, dropout_key,
+        )
+        new_bn.update(stack_bn)
+        coefs.update(stack_coefs)
+        return _supernet_heads(cfg, params, bn_state, new_bn, x, bn_train,
+                               coefs)
+
     kcand = cfg.num_candidates
     groups = cfg.bottleneck_groups
     for i in range(cfg.num_layers):
@@ -362,6 +480,13 @@ def apply_supernet(
         prev = x[:, lspan : x.shape[1] - rspan] if (lspan or rspan) else x
         x = cur + b.bypass_scale * prev
 
+    return _supernet_heads(cfg, params, bn_state, new_bn, x, bn_train, coefs)
+
+
+def _supernet_heads(cfg, params, bn_state, new_bn, x, bn_train, coefs):
+    """Subsample + prefinal/output heads (shared by scan and unrolled paths)."""
+    b = cfg.base
+    dt = b.dtype
     x = x[:, :: b.frame_subsampling_factor]
     pl = jnp.matmul(x.astype(dt), params["prefinal_l"].astype(dt),
                     preferred_element_type=jnp.float32)
