@@ -62,6 +62,7 @@ class SearchMode:
     GUMBEL = "gumbel"
     SOFTMAX = "softmax"
     FREE = "free"
+    ARGMAX_ST = "argmax_st"  # hard one-hot fwd, softmax straight-through grad
     FIXED = "fixed"  # no search: share branch only (diagnostics)
 
 
@@ -222,7 +223,15 @@ def branch_coefs(
         if share_index is not None:  # share always on (union with sample)
             coef = jnp.maximum(coef, jax.nn.one_hot(jnp.full(shape[:-1], share_index), k))
         return coef
-    if mode == SearchMode.GUMBEL:
+    if mode == SearchMode.ARGMAX_ST:
+        # hard one-hot forward, softmax gradient (straight-through) —
+        # the ArgmaxOnehotFunctionComponent (`nnet-simple-component.h:2830`,
+        # `.cc:9859-9928`)
+        soft = jnp.broadcast_to(jax.nn.softmax(alpha / tau, axis=-1), shape)
+        hard = jax.nn.one_hot(jnp.argmax(alpha, axis=-1), k)
+        hard = jnp.broadcast_to(hard, shape)
+        coef = hard + soft - jax.lax.stop_gradient(soft)
+    elif mode == SearchMode.GUMBEL:
         assert key is not None
         u = jax.random.uniform(key, shape, minval=1e-8, maxval=1.0 - 1e-8)
         g = -jnp.log(-jnp.log(u))
@@ -235,7 +244,8 @@ def branch_coefs(
         return coef  # no special share branch in free-select
     else:
         raise ValueError(f"unknown mode {mode}")
-    coef = jnp.maximum(coef, 1e-20)
+    if mode != SearchMode.ARGMAX_ST:  # floor would kill the ST gradient
+        coef = jnp.maximum(coef, 1e-20)
     if share_index is not None:
         coef = coef.at[..., share_index].set(1.0)
     return coef

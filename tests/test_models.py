@@ -175,3 +175,16 @@ def test_temperature_schedule():
     assert abs(temperature_at(0.0) - 1.0) < 1e-9
     assert abs(temperature_at(1.0) - 0.03) < 1e-9
     assert abs(temperature_at(0.5) - (0.5 * 0.97 + 0.03)) < 1e-9
+
+
+def test_argmax_straight_through_mode():
+    alpha = jnp.asarray([0.2, 1.5, -0.3])
+    c = branch_coefs(alpha, SearchMode.ARGMAX_ST, 1.0, None, share_index=0)
+    np.testing.assert_allclose(np.asarray(c), [1.0, 1.0, 0.0], atol=1e-6)
+    # gradient flows via the softmax (straight-through)
+    g = jax.grad(lambda a: jnp.sum(
+        branch_coefs(a, SearchMode.ARGMAX_ST, 1.0, None, share_index=None)
+        * jnp.asarray([1.0, 2.0, 3.0])))(alpha)
+    soft_g = jax.grad(lambda a: jnp.sum(
+        jax.nn.softmax(a) * jnp.asarray([1.0, 2.0, 3.0])))(alpha)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(soft_g), atol=1e-6)
