@@ -32,6 +32,12 @@ import numpy as np
 from tdnnf_nas_tpu.graphs.fsa import StateGraph
 
 _TINY = 1e-30
+# Emission floor: max-normalized log-observations are clamped at this value
+# so the per-frame probability mass can never underflow (c >= e^-30 >> TINY),
+# which keeps the backward's 1/c terms finite even for wildly confident
+# outputs.  (Kaldi instead relies on bounded outputs via l2/xent; a floor on
+# emission probabilities is the numerically explicit version.)
+_MIN_LOG_OBS = -30.0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -88,7 +94,7 @@ def _forward_score_impl(
     b, t, _ = obs_logprob.shape
     obs_logprob = obs_logprob.astype(jnp.float32)
     mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
-    obs_exp = jnp.exp(obs_logprob - mx)
+    obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
     obs_state = _gather_obs(obs_exp, state_pdf)  # [B,T,S]
     if mask is not None:
         obs_state = obs_state * mask
@@ -197,7 +203,7 @@ def forward_score_linear(
     n = s // 2
     obs_logprob = obs_logprob.astype(jnp.float32)
     mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
-    obs_exp = jnp.exp(obs_logprob - mx)
+    obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
     obs_state = _gather_obs(obs_exp, state_pdf) * mask  # [B,T,S]
 
     a0 = init * obs_state[:, 0]

@@ -205,7 +205,9 @@ def pallas_forward_score(
     graph, no mask — the denominator case)."""
     obs_logprob = obs_logprob.astype(jnp.float32)
     mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
-    obs_log_state = jnp.take(obs_logprob - mx, state_pdf, axis=-1)
+    # emission floor — see ops/fwdbwd._MIN_LOG_OBS
+    obs_log_state = jnp.take(jnp.maximum(obs_logprob - mx, -30.0), state_pdf,
+                             axis=-1)
     logz = pallas_den_score_state(obs_log_state, trans, init, final,
                                   float(leaky_coef))
     return logz + jnp.sum(mx[:, :, 0], axis=1)
