@@ -347,7 +347,11 @@ def _scan_offset_stack(
         cur = base._dropout(cur, b_cfg.dropout_proportion, lkd, train)
         prev = x[:, (k - 1): (k - 1) + t_out0]
         out = cur + b_cfg.bypass_scale * prev
-        # pad back to t0 (garbage region grows by span per layer)
+        # zero the garbage region: otherwise it grows unboundedly across
+        # layers (frozen BN doesn't tame it) and an inf there turns the
+        # backward's 0-cotangent products into NaN weight/alpha gradients
+        out = out * valid.astype(out.dtype)
+        # pad back to t0 (valid region shrinks by span per layer)
         out = jnp.pad(out, ((0, 0), (0, span), (0, 0)))
         return out, (new_bm, new_bv, c_lin, c_aff)
 

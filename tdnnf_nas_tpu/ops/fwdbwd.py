@@ -172,6 +172,9 @@ def occupancy_posteriors(
     return per_seq, grad
 
 
+_NEG_LOG = -1e30
+
+
 @partial(jax.jit, static_argnames=("self_loop_prob",))
 def forward_score_linear(
     obs_logprob: jax.Array,
@@ -186,42 +189,52 @@ def forward_score_linear(
 
     The numerator's transition matrix is banded (pair i -> its own loop
     state with prob a; pair i -> pair i+1's enter state with next_w[i]), so
-    the recursion is O(S) elementwise work instead of an [S,S] matmul:
+    the recursion is O(S) elementwise work instead of an [S,S] matmul —
+    and it runs in LOG space (2-term logaddexp band):
 
-      pair[i]       = alpha[enter_i] + alpha[loop_i]
-      alpha'[loop_i]  = pair[i] * a         * obs[loop_i]
-      alpha'[enter_i] = pair[i-1] * w[i-1]  * obs[enter_i]
+      pair[i]           = logaddexp(la[enter_i], la[loop_i])
+      la'[loop_i]       = pair[i]   + log a      + logobs[loop_i]
+      la'[enter_i]      = pair[i-1] + log w[i-1] + logobs[enter_i]
+
+    Log space matters here: with tolerance masks the per-frame allowed
+    probability mass can underflow f32 for badly-matched models (early
+    supernet cv-updates), which made the scaled-probability formulation's
+    backward blow up.  Kaldi's numerator computation is log-space for the
+    same reason (chain-numerator.cc); the denominator keeps the matmul-
+    friendly scaled-probability kernel.
 
     Identical result to forward_score on the dense trans (tested), ~20x
     cheaper for the numerator half of the chain objective.
 
     Args: obs_logprob [B,T,P]; next_w [B, S//2]; state_pdf/init/final
-    [B, S]; mask [B, T, S].
+    [B, S]; mask [B, T, S] (probability space, logs taken inside).
     """
     b, t, _ = obs_logprob.shape
     s = state_pdf.shape[-1]
     n = s // 2
     obs_logprob = obs_logprob.astype(jnp.float32)
-    mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
-    obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
-    obs_state = _gather_obs(obs_exp, state_pdf) * mask  # [B,T,S]
+    obs_state = _gather_obs(obs_logprob, state_pdf)  # [B,T,S] log-space
+    log_mask = jnp.where(mask > 0, 0.0, _NEG_LOG)
+    obs_state = jnp.maximum(obs_state + log_mask, _NEG_LOG)
+    log_init = jnp.where(init > 0, jnp.log(jnp.maximum(init, _TINY)), _NEG_LOG)
+    log_final = jnp.where(final > 0, jnp.log(jnp.maximum(final, _TINY)), _NEG_LOG)
+    log_w = jnp.where(next_w > 0, jnp.log(jnp.maximum(next_w, _TINY)), _NEG_LOG)
+    log_a = float(np.log(self_loop_prob))
 
-    a0 = init * obs_state[:, 0]
-    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
-    alpha0 = a0 / c0[:, None]
+    la0 = jnp.maximum(log_init + obs_state[:, 0], _NEG_LOG)
     obs_rest = jnp.moveaxis(obs_state[:, 1:], 1, 0)  # [T-1, B, S]
 
-    def step(alpha, obs_t):
-        pair = alpha.reshape(b, n, 2).sum(-1)  # [B, N]
-        nxt_l = pair * self_loop_prob
-        nxt_e = jnp.pad((pair * next_w)[:, :-1], ((0, 0), (1, 0)))
-        a = jnp.stack([nxt_e, nxt_l], axis=-1).reshape(b, s) * obs_t
-        c = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
-        return a / c[:, None], jnp.log(c)
+    def step(la, obs_t):
+        p = la.reshape(b, n, 2)
+        pair = jnp.logaddexp(p[..., 0], p[..., 1])  # [B, N]
+        nxt_l = pair + log_a
+        nxt_e = jnp.pad((pair + log_w)[:, :-1], ((0, 0), (1, 0)),
+                        constant_values=_NEG_LOG)
+        la_new = jnp.stack([nxt_e, nxt_l], axis=-1).reshape(b, s) + obs_t
+        return jnp.maximum(la_new, _NEG_LOG), None
 
-    alpha_last, logcs = jax.lax.scan(step, alpha0, obs_rest)
-    log_final = jnp.log(jnp.maximum(jnp.sum(alpha_last * final, axis=-1), _TINY))
-    return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(mx[:, :, 0], axis=1)
+    la_last, _ = jax.lax.scan(step, la0, obs_rest)
+    return jax.nn.logsumexp(la_last + log_final, axis=-1)
 
 
 def forward_score_reference(
