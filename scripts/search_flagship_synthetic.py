@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(stage="A", pretrain_steps=60, cv_steps=40):
+def main(stage="A", pretrain_steps=200, cv_steps=60):
     from tdnnf_nas_tpu.data import (
         SyntheticCorpusConfig, make_synthetic_corpus, EgsConfig, make_egs,
         batch_iterator,

@@ -125,3 +125,25 @@ def test_adafactor_optimizer_runs_and_descends():
         params, state = update_fn(g, state, params, jnp.asarray(i))
     l1 = float(loss(params))
     assert l1 < 0.2 * l0, (l0, l1)
+
+
+def test_objective_gradients_finite_for_badly_matched_model():
+    """Regression: extreme/badly-matched outputs (early supernet cv-update)
+    must yield finite loss and gradients — the numerator runs in log space
+    precisely because its masked per-frame mass can underflow f32."""
+    den, sup, obs = _setup(seed=3, t=12)
+    den_arr = DenGraphArrays.from_graph(den)
+    cfg = ChainObjectiveConfig(xent_regularize=0.1, leaky_hmm_coef=0.1)
+    rng = np.random.RandomState(9)
+    # outputs with a ±40-nat dynamic range, adversarially anti-correlated
+    # with the supervision (numerator path mass ~ e^-400 over the chunk)
+    bad = jnp.asarray(rng.randn(*obs.shape).astype(np.float32) * 20.0)
+
+    def loss_fn(o):
+        loss, _ = chain_objective(o, o, den_arr, sup, cfg)
+        return loss
+
+    loss = float(loss_fn(bad))
+    g = np.asarray(jax.grad(loss_fn)(bad))
+    assert np.isfinite(loss)
+    assert np.isfinite(g).all(), np.abs(g).max()
