@@ -65,16 +65,19 @@ def main(train_steps=300):
 
     left, right = model_context(model_cfg)
     refs, first, four_h, rnn_h = [], [], [], []
+    # bucket input lengths to multiples of 32 output frames => few compiles
+    bucket = 32
     for utt in bundle.dev_utts:
         t_out = len(utt.pdf_align)
+        t_pad = ((t_out + bucket - 1) // bucket) * bucket
+        need = left + (t_pad - 1) * 3 + 1 + right
         feats = np.concatenate([
             np.repeat(utt.feats[:1], left, 0), utt.feats,
-            np.repeat(utt.feats[-1:], right + 2, 0),
-        ])[None]
-        need = left + (t_out - 1) * 3 + 1 + right
+            np.repeat(utt.feats[-1:], need, 0),
+        ])[None][:, :need]
         chain, _, _ = apply_model(model_cfg, state.params, state.bn_state,
-                                  jnp.asarray(feats[:, :need]), train=False)
-        obs = np.asarray(chain[0])
+                                  jnp.asarray(feats), train=False)
+        obs = np.asarray(chain[0])[:t_out]
         nb = nbest_decode(obs, dg, n=10)
         if not nb:
             continue

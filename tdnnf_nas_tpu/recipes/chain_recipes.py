@@ -176,19 +176,19 @@ def decode_corpus(
     left, right = model_context(model_cfg)
     lt, spdf, li, lf = graph_log_arrays(bundle.den)
     refs, hyps = [], []
+    bucket = 32  # pad output lengths to multiples => few jit shapes
+    fs = model_cfg.frame_subsampling_factor
     for utt in utts:
         t_out = len(utt.pdf_align)
+        t_pad = ((t_out + bucket - 1) // bucket) * bucket
+        need = left + (t_pad - 1) * fs + 1 + right
         feats = np.concatenate([
             np.repeat(utt.feats[:1], left, 0), utt.feats,
-            np.repeat(utt.feats[-1:], right + 2, 0),
-        ])[None]
-        need = left + (t_out - 1) * model_cfg.frame_subsampling_factor + 1 + right
-        feats = feats[:, :need] if feats.shape[1] >= need else None
-        if feats is None:
-            continue
+            np.repeat(utt.feats[-1:], need, 0),
+        ])[None][:, :need]
         chain, _, _ = apply_model(model_cfg, state.params, state.bn_state,
                                   jnp.asarray(feats), train=False)
-        _, paths = viterbi_decode(chain, lt, spdf, li, lf)
+        _, paths = viterbi_decode(chain[:, :t_out], lt, spdf, li, lf)
         hyps.append(path_to_phones(np.asarray(paths[0]), bundle.num_phones))
         refs.append(list(utt.phones))
     return score_corpus(refs, hyps)
