@@ -1,7 +1,9 @@
 """End-to-end WER demo: train on the word corpus, decode, rescore.
 
 Produces docs/wer_synthetic.json: first-pass (bigram graph) WER vs 4-gram
-and RNNLM n-best rescoring — the full decode stack exercised at once.
+and RNNLM rescoring, through both the n-best and the lattice pipelines
+(native lattice generation + G-replacement / pruned-RNNLM rescoring),
+plus the lattice oracle WER — the full decode stack exercised at once.
 """
 
 import json
@@ -63,8 +65,17 @@ def main(train_steps=300):
     rnn = RnnLMScorer(rnn_cfg, rnn_params)
     print(f"rnnlm ppl: {ppl:.1f}", flush=True)
 
+    from tdnnf_nas_tpu.data.native import generate_lattice_native, get_lib
+    from tdnnf_nas_tpu.decode.lattice import (
+        generate_lattice, lattice_oracle_wer, rescore_lattice,
+        rescore_lattice_rnnlm,
+    )
+
+    gen_lattice = (generate_lattice_native if get_lib() is not None
+                   else generate_lattice)
     left, right = model_context(model_cfg)
     refs, first, four_h, rnn_h = [], [], [], []
+    lat_four_h, lat_rnn_h, oracle_errs, ref_words_total = [], [], 0, 0
     # bucket input lengths to multiples of 32 output frames => few compiles
     bucket = 32
     for utt in bundle.dev_utts:
@@ -86,10 +97,20 @@ def main(train_steps=300):
         four_h.append(rescore_nbest(nb, wlm, fourgram, lm_scale=1.0)[0][0])
         rnn_h.append(rescore_nbest(nb, wlm, rnn, lm_scale=1.0,
                                    word_to_token=lambda w: w)[0][0])
+        lat = gen_lattice(obs, dg, beam=16.0, lattice_beam=8.0)
+        lat_four_h.append(rescore_lattice(lat, wlm, fourgram, lm_scale=1.0,
+                                          n=1)[0][0])
+        lat_rnn_h.append(rescore_lattice_rnnlm(lat, wlm, rnn, lm_scale=1.0,
+                                               n=1)[0][0])
+        oracle_errs += lattice_oracle_wer(lat, utt.words)
+        ref_words_total += len(utt.words)
     out = {
         "first_pass_wer": score_corpus(refs, first)["wer"],
         "fourgram_rescored_wer": score_corpus(refs, four_h)["wer"],
         "rnnlm_rescored_wer": score_corpus(refs, rnn_h)["wer"],
+        "lattice_fourgram_wer": score_corpus(refs, lat_four_h)["wer"],
+        "lattice_rnnlm_wer": score_corpus(refs, lat_rnn_h)["wer"],
+        "lattice_oracle_wer": 100.0 * oracle_errs / max(ref_words_total, 1),
         "num_utts": len(refs),
         "train_objf": metrics.last("objf_mmi"),
         "rnnlm_ppl": ppl,

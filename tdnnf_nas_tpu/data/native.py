@@ -26,10 +26,14 @@ _lock = threading.Lock()
 _lib = None
 
 
+_SOURCES = ("egs_builder.cc", "decoder.cc", "egs_loader.cc", "lattice.cc")
+
+
 def _build_lib() -> None:
     subprocess.run(
         ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-         "-o", _LIB_PATH, os.path.join(_NATIVE_DIR, "egs_builder.cc")],
+         "-o", _LIB_PATH]
+        + [os.path.join(_NATIVE_DIR, s) for s in _SOURCES],
         check=True, capture_output=True,
     )
 
@@ -40,11 +44,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        stale = (not os.path.exists(_LIB_PATH)) or any(
+            os.path.getmtime(os.path.join(_NATIVE_DIR, s))
+            > os.path.getmtime(_LIB_PATH)
+            for s in _SOURCES
+            if os.path.exists(os.path.join(_NATIVE_DIR, s))
+        )
+        if stale:
             try:
                 _build_lib()
             except Exception:
-                return None
+                if not os.path.exists(_LIB_PATH):
+                    return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -68,6 +79,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p,
         ]
         lib.decode_nbest.restype = ctypes.c_int32
+        lib.generate_lattice.argtypes = [
+            f32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, f32p, i32p, f32p, f32p, i32p,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, f32p, f32p, i32p,
+        ]
+        lib.generate_lattice.restype = ctypes.c_int32
         _lib = lib
         return _lib
 
@@ -162,6 +181,84 @@ def den_init_tables(den_graph, num_phones: int):
         raise ValueError("den_init_tables supports the CI den layout only")
     return (np.asarray(g.init[:num_phones], np.float32),
             np.asarray(g.init[num_phones:], np.float32))
+
+
+def _graph_csr(decoding_graph):
+    """(log arrays + CSR successors) for a DecodingGraph's StateGraph."""
+    g = decoding_graph.graph
+    s = g.num_states
+    with np.errstate(divide="ignore"):
+        lt = np.where(g.trans > 0, np.log(np.maximum(g.trans, 1e-30)), -1e30)
+        li = np.where(g.init > 0, np.log(np.maximum(g.init, 1e-30)), -1e30)
+        lf = np.where(g.final > 0, np.log(np.maximum(g.final, 1e-30)), -1e30)
+    offsets = np.zeros((s + 1,), np.int32)
+    dsts, ws = [], []
+    for st in range(s):
+        nz = np.nonzero(g.trans[st] > 0)[0]
+        offsets[st + 1] = offsets[st] + len(nz)
+        dsts.append(nz)
+        ws.append(lt[st, nz])
+    dst = np.concatenate(dsts).astype(np.int32) if dsts else np.zeros(1, np.int32)
+    logw = np.concatenate(ws).astype(np.float32) if ws else np.zeros(1, np.float32)
+    return (offsets, dst, logw,
+            np.ascontiguousarray(g.state_pdf, np.int32),
+            np.ascontiguousarray(li, np.float32),
+            np.ascontiguousarray(lf, np.float32))
+
+
+def generate_lattice_native(
+    obs_logprob: np.ndarray,  # [T, P]
+    decoding_graph,  # decode.wfst.DecodingGraph
+    acoustic_scale: float = 1.0,
+    beam: float = 16.0,
+    lattice_beam: float = 8.0,
+):
+    """Native lattice generation; same semantics as
+    decode.lattice.generate_lattice (tested equivalent)."""
+    from tdnnf_nas_tpu.decode.lattice import Lattice
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    offsets, dst, logw, spdf, li, lf = _graph_csr(decoding_graph)
+    s = decoding_graph.graph.num_states
+    obs = np.ascontiguousarray(obs_logprob, np.float32)
+    t, p = obs.shape
+    wos = np.ascontiguousarray(decoding_graph.word_of_state, np.int32)
+    max_nodes, max_arcs = t * s + 2, 4 * t * int(offsets[-1]) + 2 * s + 16
+    while True:
+        node_time = np.zeros((max_nodes,), np.int32)
+        arc_src = np.zeros((max_arcs,), np.int32)
+        arc_dst = np.zeros((max_arcs,), np.int32)
+        arc_word = np.zeros((max_arcs,), np.int32)
+        arc_am = np.zeros((max_arcs,), np.float32)
+        arc_gs = np.zeros((max_arcs,), np.float32)
+        counts = np.zeros((2,), np.int32)
+        rc = lib.generate_lattice(
+            _f32p(obs), t, p, _i32p(offsets), _i32p(dst), _f32p(logw),
+            _i32p(spdf), _f32p(li), _f32p(lf), _i32p(wos), s,
+            ctypes.c_float(acoustic_scale), ctypes.c_float(beam),
+            ctypes.c_float(lattice_beam), max_nodes, max_arcs,
+            _i32p(node_time), _i32p(arc_src), _i32p(arc_dst), _i32p(arc_word),
+            _f32p(arc_am), _f32p(arc_gs), _i32p(counts),
+        )
+        if rc == -1:
+            raise ValueError("no complete path survived the beam")
+        if rc == -2:
+            max_nodes *= 2
+            max_arcs *= 2
+            continue
+        break
+    n_nodes, n_arcs = int(counts[0]), int(counts[1])
+    return Lattice(
+        num_nodes=n_nodes,
+        node_time=node_time[:n_nodes].copy(),
+        arc_src=arc_src[:n_arcs].copy(),
+        arc_dst=arc_dst[:n_arcs].copy(),
+        arc_word=arc_word[:n_arcs].copy(),
+        arc_am=arc_am[:n_arcs].copy(),
+        arc_gs=arc_gs[:n_arcs].copy(),
+    )
 
 
 def nbest_decode_native(

@@ -8,3 +8,13 @@ from tdnnf_nas_tpu.decode.wfst import (
     decode_words,
     path_to_words,
 )
+from tdnnf_nas_tpu.decode.lattice import (
+    Lattice,
+    generate_lattice,
+    lattice_best_path,
+    lattice_nbest,
+    lattice_arc_posteriors,
+    lattice_oracle_wer,
+    rescore_lattice,
+    rescore_lattice_rnnlm,
+)

@@ -1,0 +1,485 @@
+"""Pruned word lattices: generation, best/n-best paths, posteriors,
+oracle WER, and lattice-level LM rescoring.
+
+Equivalent of the reference's lattice pipeline: ``nnet3-latgen-faster``
+produces beam-pruned lattices that `steps/lmrescore_const_arpa.sh`
+(4-gram G-replacement) and `local/rnnlm/run_*` (pruned RNNLM rescoring)
+consume — SURVEY.md §3.3.  The n-best path (decode/nbest.py) remains as
+the exact-enumeration alternative; lattices keep the full pruned
+hypothesis space so rescoring is not limited to a fixed N.
+
+Construction is exact posterior pruning: with forward/backward Viterbi
+scores over the dense first-pass graph, every arc whose best completion
+is within ``lattice_beam`` of the global best path survives — the same
+semantics Kaldi's lattice determinization targets, computed directly.
+A native C++ generator (native/lattice.cc) handles production volumes;
+this module is the tested reference semantics.
+
+Lattice form: a time-synchronous DAG.  Node 0 is the super-start, node
+``num_nodes-1`` the super-end; interior nodes are surviving (t, state)
+pairs.  Arcs carry (word | -1, acoustic score, graph score) separately so
+rescoring can swap the LM contribution out of the graph score.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tdnnf_nas_tpu.decode.wfst import DecodingGraph, WordLM
+
+_NEG = -1e30
+_LN10 = math.log(10.0)
+
+
+@dataclasses.dataclass
+class Lattice:
+    """Pruned word lattice (topologically sorted DAG).
+
+    Arcs are parallel arrays sorted by src node.  ``word`` is -1 for
+    epsilon arcs.  ``am`` is the acoustic contribution (scaled obs
+    log-prob of the destination frame), ``gs`` the graph contribution
+    (transition/init/final log-weight, including the first-pass LM).
+    """
+
+    num_nodes: int
+    node_time: np.ndarray  # [N] int32; -1 for super start/end
+    arc_src: np.ndarray  # [E] int32
+    arc_dst: np.ndarray  # [E] int32
+    arc_word: np.ndarray  # [E] int32 (-1 = eps)
+    arc_am: np.ndarray  # [E] float32
+    arc_gs: np.ndarray  # [E] float32
+
+    @property
+    def start(self) -> int:
+        return 0
+
+    @property
+    def end(self) -> int:
+        return self.num_nodes - 1
+
+    @property
+    def num_arcs(self) -> int:
+        return int(self.arc_src.shape[0])
+
+    def arc_score(self) -> np.ndarray:
+        return self.arc_am + self.arc_gs
+
+    def out_arcs(self) -> List[np.ndarray]:
+        """Arc indices grouped by src node (arcs are sorted by src)."""
+        order = np.argsort(self.arc_src, kind="stable")
+        groups: List[List[int]] = [[] for _ in range(self.num_nodes)]
+        for e in order:
+            groups[int(self.arc_src[e])].append(int(e))
+        return [np.asarray(g, np.int64) for g in groups]
+
+
+def _graph_log_arrays(dg: DecodingGraph):
+    g = dg.graph
+    with np.errstate(divide="ignore"):
+        lt = np.where(g.trans > 0, np.log(np.maximum(g.trans, 1e-30)),
+                      _NEG).astype(np.float32)
+        li = np.where(g.init > 0, np.log(np.maximum(g.init, 1e-30)),
+                      _NEG).astype(np.float32)
+        lf = np.where(g.final > 0, np.log(np.maximum(g.final, 1e-30)),
+                      _NEG).astype(np.float32)
+    return lt, li, lf
+
+
+def generate_lattice(
+    obs_logprob: np.ndarray,  # [T, P] one utterance
+    dg: DecodingGraph,
+    acoustic_scale: float = 1.0,
+    beam: float = 16.0,
+    lattice_beam: float = 8.0,
+) -> Lattice:
+    """Beam decode one utterance into a pruned lattice.
+
+    ``beam`` prunes the forward pass per frame (decoding beam);
+    ``lattice_beam`` keeps every arc whose best completion is within
+    that margin of the best path (lattice depth).
+    """
+    g = dg.graph
+    lt, li, lf = _graph_log_arrays(dg)
+    obs_s = np.asarray(obs_logprob, np.float32)[:, g.state_pdf] * acoustic_scale
+    t_len, s = obs_s.shape
+
+    # forward Viterbi with per-frame beam
+    alpha = np.full((t_len, s), _NEG, np.float32)
+    alpha[0] = li + obs_s[0]
+    alpha[0][alpha[0] < alpha[0].max() - beam] = _NEG
+    for t in range(1, t_len):
+        cand = alpha[t - 1][:, None] + lt  # [S, S]
+        a = cand.max(axis=0) + obs_s[t]
+        a[a < a.max() - beam] = _NEG
+        alpha[t] = a
+
+    # backward Viterbi over surviving states
+    beta = np.full((t_len, s), _NEG, np.float32)
+    beta[-1] = lf
+    for t in range(t_len - 2, -1, -1):
+        nxt = obs_s[t + 1] + beta[t + 1]
+        nxt = np.where(alpha[t + 1] > _NEG / 2, nxt, _NEG)
+        beta[t] = (lt + nxt[None, :]).max(axis=1)
+
+    best = float((alpha[-1] + lf).max())
+    if best <= _NEG / 2:
+        raise ValueError("no complete path survived the beam")
+    cutoff = best - lattice_beam
+
+    # surviving nodes
+    keep = (alpha + beta) >= cutoff  # [T, S]
+    node_of: Dict[Tuple[int, int], int] = {}
+    node_time = [-1]
+    for t in range(t_len):
+        for st in np.nonzero(keep[t])[0]:
+            node_of[(t, int(st))] = len(node_time)
+            node_time.append(t)
+    end_node = len(node_time)
+    node_time.append(-1)
+
+    src, dst, word, am, gs = [], [], [], [], []
+    # start arcs
+    for st in np.nonzero(keep[0])[0]:
+        st = int(st)
+        if li[st] <= _NEG / 2:
+            continue
+        if li[st] + obs_s[0, st] + beta[0, st] < cutoff:
+            continue
+        src.append(0)
+        dst.append(node_of[(0, st)])
+        word.append(int(dg.word_of_state[st]))
+        am.append(float(obs_s[0, st]))
+        gs.append(float(li[st]))
+    # transitions
+    for t in range(t_len - 1):
+        srcs = np.nonzero(keep[t])[0]
+        for st in srcs:
+            st = int(st)
+            ds = np.nonzero(lt[st] > _NEG / 2)[0]
+            for d in ds:
+                d = int(d)
+                if not keep[t + 1][d]:
+                    continue
+                tot = alpha[t, st] + lt[st, d] + obs_s[t + 1, d] + beta[t + 1, d]
+                if tot < cutoff:
+                    continue
+                src.append(node_of[(t, st)])
+                dst.append(node_of[(t + 1, d)])
+                word.append(int(dg.word_of_state[d]))
+                am.append(float(obs_s[t + 1, d]))
+                gs.append(float(lt[st, d]))
+    # final arcs
+    for st in np.nonzero(keep[t_len - 1])[0]:
+        st = int(st)
+        if lf[st] <= _NEG / 2 or alpha[t_len - 1, st] + lf[st] < cutoff:
+            continue
+        src.append(node_of[(t_len - 1, st)])
+        dst.append(end_node)
+        word.append(-1)
+        am.append(0.0)
+        gs.append(float(lf[st]))
+
+    order = np.argsort(np.asarray(src), kind="stable")
+    return Lattice(
+        num_nodes=end_node + 1,
+        node_time=np.asarray(node_time, np.int32),
+        arc_src=np.asarray(src, np.int32)[order],
+        arc_dst=np.asarray(dst, np.int32)[order],
+        arc_word=np.asarray(word, np.int32)[order],
+        arc_am=np.asarray(am, np.float32)[order],
+        arc_gs=np.asarray(gs, np.float32)[order],
+    )
+
+
+def _node_order(lat: Lattice) -> np.ndarray:
+    """Topological order: start, interior by time, end."""
+    key = np.where(lat.node_time < 0,
+                   np.where(np.arange(lat.num_nodes) == 0, -1, 2**30),
+                   lat.node_time)
+    return np.argsort(key, kind="stable")
+
+
+def lattice_best_path(lat: Lattice) -> Tuple[List[int], float]:
+    """Viterbi over the lattice: (words, score); equals the decoder's
+    best path when the lattice was generated from it."""
+    score = np.full(lat.num_nodes, _NEG, np.float64)
+    back: List[Optional[int]] = [None] * lat.num_nodes
+    score[lat.start] = 0.0
+    w = lat.arc_score()
+    for e in range(lat.num_arcs):
+        s, d = int(lat.arc_src[e]), int(lat.arc_dst[e])
+        v = score[s] + w[e]
+        if v > score[d]:
+            score[d] = v
+            back[d] = e
+    words: List[int] = []
+    node = lat.end
+    while back[node] is not None:
+        e = back[node]
+        if lat.arc_word[e] >= 0:
+            words.append(int(lat.arc_word[e]))
+        node = int(lat.arc_src[e])
+    words.reverse()
+    return words, float(score[lat.end])
+
+
+def lattice_backward_best(lat: Lattice) -> np.ndarray:
+    """best[n] = best score from node n to the end (A* heuristic)."""
+    best = np.full(lat.num_nodes, _NEG, np.float64)
+    best[lat.end] = 0.0
+    w = lat.arc_score()
+    for e in range(lat.num_arcs - 1, -1, -1):
+        s, d = int(lat.arc_src[e]), int(lat.arc_dst[e])
+        v = w[e] + best[d]
+        if v > best[s]:
+            best[s] = v
+    return best
+
+
+def lattice_nbest(lat: Lattice, n: int = 10,
+                  max_pops: int = 200000) -> List[Tuple[List[int], float]]:
+    """Exact n best distinct word sequences within the lattice (A* with
+    the backward-best heuristic)."""
+    bwd = lattice_backward_best(lat)
+    outs = lat.out_arcs()
+    w = lat.arc_score()
+    heap = [(-bwd[lat.start], 0, lat.start, 0.0, ())]
+    counter = 1
+    results: List[Tuple[List[int], float]] = []
+    seen = set()
+    pops = 0
+    while heap and len(results) < n and pops < max_pops:
+        _, _, node, sc, words = heapq.heappop(heap)
+        pops += 1
+        if node == lat.end:
+            if words not in seen:
+                seen.add(words)
+                results.append((list(words), sc))
+            continue
+        for e in outs[node]:
+            ns = sc + float(w[e])
+            d = int(lat.arc_dst[e])
+            pri = ns + bwd[d]
+            if pri <= _NEG / 2:
+                continue
+            nwords = words + ((int(lat.arc_word[e]),)
+                              if lat.arc_word[e] >= 0 else ())
+            heapq.heappush(heap, (-pri, counter, d, ns, nwords))
+            counter += 1
+    return results
+
+
+def lattice_arc_posteriors(lat: Lattice) -> Tuple[np.ndarray, float]:
+    """Log-semiring forward-backward over the lattice.
+
+    Returns (posteriors [E] summing to 1 over every time cut, logZ).
+    Word-confidence / MBR inputs, matching Kaldi's lattice-to-post.
+    """
+    w = lat.arc_score().astype(np.float64)
+    fwd = np.full(lat.num_nodes, -np.inf)
+    fwd[lat.start] = 0.0
+    for e in range(lat.num_arcs):
+        s, d = int(lat.arc_src[e]), int(lat.arc_dst[e])
+        fwd[d] = np.logaddexp(fwd[d], fwd[s] + w[e])
+    bwd = np.full(lat.num_nodes, -np.inf)
+    bwd[lat.end] = 0.0
+    for e in range(lat.num_arcs - 1, -1, -1):
+        s, d = int(lat.arc_src[e]), int(lat.arc_dst[e])
+        bwd[s] = np.logaddexp(bwd[s], w[e] + bwd[d])
+    log_z = float(fwd[lat.end])
+    post = np.exp(fwd[lat.arc_src] + w + bwd[lat.arc_dst] - log_z)
+    return post.astype(np.float32), log_z
+
+
+def lattice_oracle_wer(lat: Lattice, ref: Sequence[int]) -> int:
+    """Minimum edit distance between ``ref`` and any word sequence in the
+    lattice (Kaldi ``lattice-oracle``)."""
+    ref = list(ref)
+    r = len(ref)
+    big = 10**9
+    d = np.full((lat.num_nodes, r + 1), big, np.int64)
+    d[lat.start, 0] = 0
+    # deletions at the start node
+    for k in range(r):
+        d[lat.start, k + 1] = min(d[lat.start, k + 1], d[lat.start, k] + 1)
+    for e in range(lat.num_arcs):
+        s, dn, wd = int(lat.arc_src[e]), int(lat.arc_dst[e]), int(lat.arc_word[e])
+        if wd < 0:
+            np.minimum(d[dn], d[s], out=d[dn])
+        else:
+            # insertion: hyp word, no ref consumed
+            np.minimum(d[dn], d[s] + 1, out=d[dn])
+            # match / substitution: consume one ref word
+            cost = d[s, :r] + (np.asarray(ref) != wd)
+            np.minimum(d[dn, 1:], cost, out=d[dn, 1:])
+        # deletions: consume ref words in place at dn
+        for k in range(r):
+            if d[dn, k] + 1 < d[dn, k + 1]:
+                d[dn, k + 1] = d[dn, k] + 1
+    return int(d[lat.end, r])
+
+
+def _old_lm_logprob(wlm: WordLM, prev: int, word: int) -> float:
+    return math.log(max(float(wlm.probs[prev + 1, word]), 1e-30))
+
+
+def _old_lm_final(wlm: WordLM, prev: int) -> float:
+    return math.log(max(float(wlm.final[prev + 1]), 1e-30))
+
+
+def rescore_lattice(
+    lat: Lattice,
+    old_lm: WordLM,
+    new_lm,
+    lm_scale: float = 1.0,
+    word_to_token=str,
+    n: int = 1,
+    beam: float = 20.0,
+    max_states_per_node: int = 64,
+) -> List[Tuple[List[int], float]]:
+    """Lattice LM rescoring by G replacement (const-arpa semantics,
+    `steps/lmrescore_const_arpa.sh`).
+
+    Expands the lattice over new-LM histories: each search state is
+    (lattice node, last order-1 words); on a word arc the first-pass
+    bigram's contribution is removed from the graph score and the new
+    LM's (log10, ARPA) conditional — scaled by ``lm_scale`` — is added.
+    Exact up to the per-node ``beam`` / ``max_states_per_node`` pruning
+    of expansion states.
+
+    Returns up to ``n`` (words, score) best-first.
+    """
+    ctx_len = max(new_lm.order - 1, 0)
+    outs = lat.out_arcs()
+    order = _node_order(lat)
+    # states[node]: {history(with BOS sentinel words as ints) : (score, words)}
+    from tdnnf_nas_tpu.lm.ngram import BOS
+
+    states: List[Dict[Tuple[int, ...], Tuple[float, Tuple[int, ...]]]] = [
+        {} for _ in range(lat.num_nodes)
+    ]
+    states[lat.start][()] = (0.0, ())
+    finals: List[Tuple[float, Tuple[int, ...]]] = []
+    for node in order:
+        node = int(node)
+        if not states[node]:
+            continue
+        # prune expansion states at this node
+        items = sorted(states[node].items(), key=lambda kv: -kv[1][0])
+        best_here = items[0][1][0]
+        items = [(h, sw) for h, sw in items
+                 if sw[0] >= best_here - beam][:max_states_per_node]
+        for hist, (sc, words) in items:
+            if node == lat.end:
+                finals.append((sc, words))
+                continue
+            for e in outs[node]:
+                d = int(lat.arc_dst[e])
+                wd = int(lat.arc_word[e])
+                base = float(lat.arc_am[e]) + float(lat.arc_gs[e])
+                nhist, nwords, nsc = hist, words, sc + base
+                prev = hist[-1] if hist else -1
+                if wd >= 0:
+                    ctx = [BOS] + [word_to_token(h) for h in hist]
+                    lp_new = new_lm.log_prob_word(ctx, word_to_token(wd)) * _LN10
+                    nsc += lm_scale * lp_new - _old_lm_logprob(old_lm, prev, wd)
+                    nhist = (hist + (wd,))[-ctx_len:] if ctx_len else ()
+                    nwords = words + (wd,)
+                elif d == lat.end:
+                    # final arc: swap the old LM's end-of-sentence prob
+                    ctx = [BOS] + [word_to_token(h) for h in hist]
+                    from tdnnf_nas_tpu.lm.ngram import EOS
+
+                    lp_new = new_lm.log_prob_word(ctx, EOS) * _LN10
+                    nsc += lm_scale * lp_new - _old_lm_final(old_lm, prev)
+                cur = states[d].get(nhist)
+                if cur is None or nsc > cur[0]:
+                    states[d][nhist] = (nsc, nwords)
+    finals.sort(key=lambda x: -x[0])
+    seen = set()
+    out = []
+    for sc, words in finals:
+        if words in seen:
+            continue
+        seen.add(words)
+        out.append((list(words), sc))
+        if len(out) >= n:
+            break
+    return out
+
+
+def rescore_lattice_rnnlm(
+    lat: Lattice,
+    old_lm: WordLM,
+    scorer,
+    lm_scale: float = 1.0,
+    hist_len: int = 3,
+    n: int = 1,
+    beam: float = 20.0,
+    max_states_per_node: int = 32,
+) -> List[Tuple[List[int], float]]:
+    """Pruned RNNLM lattice rescoring with n-gram history clustering —
+    the Kaldi `rnnlm/lmrescore_pruned.sh` approximation: expansion states
+    sharing a lattice node and the last ``hist_len`` words are merged
+    (best kept), each carrying its true recurrent state.
+
+    ``scorer`` must provide ``initial_state()`` and
+    ``advance(state, word) -> (logp_e, new_state)`` (see
+    lm/rnnlm.RnnLMScorer) plus ``final_logprob(state)``.
+    """
+    outs = lat.out_arcs()
+    order = _node_order(lat)
+    # states[node]: {hist_key: (score, words, rnn_state)}
+    states: List[Dict[Tuple[int, ...], Tuple[float, Tuple[int, ...], object]]] = [
+        {} for _ in range(lat.num_nodes)
+    ]
+    states[lat.start][()] = (0.0, (), scorer.initial_state())
+    finals: List[Tuple[float, Tuple[int, ...]]] = []
+    for node in order:
+        node = int(node)
+        if not states[node]:
+            continue
+        items = sorted(states[node].items(), key=lambda kv: -kv[1][0])
+        best_here = items[0][1][0]
+        items = [(h, v) for h, v in items
+                 if v[0] >= best_here - beam][:max_states_per_node]
+        for hist, (sc, words, rstate) in items:
+            if node == lat.end:
+                finals.append((sc, words))
+                continue
+            for e in outs[node]:
+                d = int(lat.arc_dst[e])
+                wd = int(lat.arc_word[e])
+                base = float(lat.arc_am[e]) + float(lat.arc_gs[e])
+                prev = hist[-1] if hist else -1
+                if wd >= 0:
+                    lp, nstate = scorer.advance(rstate, wd)
+                    nsc = (sc + base + lm_scale * lp
+                           - _old_lm_logprob(old_lm, prev, wd))
+                    nhist = (hist + (wd,))[-hist_len:]
+                    nwords = words + (wd,)
+                elif d == lat.end:
+                    nsc = (sc + base + lm_scale * scorer.final_logprob(rstate)
+                           - _old_lm_final(old_lm, prev))
+                    nstate, nhist, nwords = rstate, hist, words
+                else:
+                    nsc, nstate, nhist, nwords = sc + base, rstate, hist, words
+                cur = states[d].get(nhist)
+                if cur is None or nsc > cur[0]:
+                    states[d][nhist] = (nsc, nwords, nstate)
+    finals.sort(key=lambda x: -x[0])
+    seen = set()
+    out = []
+    for sc, words in finals:
+        if words in seen:
+            continue
+        seen.add(words)
+        out.append((list(words), sc))
+        if len(out) >= n:
+            break
+    return out

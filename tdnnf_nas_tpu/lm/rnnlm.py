@@ -183,3 +183,44 @@ class RnnLMScorer:
         """log10 P(words </s> | <s>)."""
         inp, tgt = _pad_batch([list(int(w) for w in words)], self.cfg)
         return float(self._score_jit(inp, tgt)[0]) * _LOG10E
+
+    # -- incremental API (lattice rescoring, decode/lattice.py) ----------
+    # A state is (h [H], c [H], logp [V]) after consuming some prefix;
+    # natural-log scores (the lattice works in ln).
+
+    def _step_fn(self, h, c, token):
+        x = self.params["embed"][token]
+        gates = (x @ self.params["lstm"]["wx"] + h @ self.params["lstm"]["wh"]
+                 + self.params["lstm"]["b"])
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        if self.cfg.tie_embeddings:
+            logits = h @ self.params["embed"].T
+        else:
+            logits = h @ self.params["out"]["w"] + self.params["out"]["b"]
+        return h, c, jax.nn.log_softmax(logits)
+
+    @property
+    def _step_jit(self):
+        if not hasattr(self, "_step_cache"):
+            self._step_cache = jax.jit(self._step_fn)
+        return self._step_cache
+
+    def initial_state(self):
+        hdim = self.params["lstm"]["wh"].shape[0]
+        h = jnp.zeros((hdim,))
+        c = jnp.zeros((hdim,))
+        h, c, lp = self._step_jit(h, c, jnp.asarray(self.cfg.bos))
+        return (h, c, np.asarray(lp))
+
+    def advance(self, state, word: int):
+        """(ln P(word | prefix), state after consuming word)."""
+        h, c, lp = state
+        logp = float(lp[int(word)])
+        h2, c2, lp2 = self._step_jit(h, c, jnp.asarray(int(word)))
+        return logp, (h2, c2, np.asarray(lp2))
+
+    def final_logprob(self, state) -> float:
+        """ln P(</s> | prefix)."""
+        return float(state[2][self.cfg.eos])
