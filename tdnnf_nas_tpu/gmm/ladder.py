@@ -1,0 +1,160 @@
+"""The GMM bootstrap ladder: mono -> LDA+MLLT -> SAT(fMLLR) -> alignments.
+
+Orchestrates gmm.py + transforms.py into the reference's `run.sh` GMM
+staircase (mono/tri1/tri2 collapse into the monophone EM here — the
+framework has no need for the intermediate delta models since the ladder
+only exists to produce alignments; tri3 = LDA+MLLT; tri4 = SAT) and
+`Prepare_NAS_data.sh:66-75`'s final fMLLR alignment pass.  Output:
+per-utterance phone begin/end frames at the subsampled output rate,
+ready for tolerance-window chain supervision (graphs/supervision.py) —
+the same artifact the reference takes from tri4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tdnnf_nas_tpu.core.config import Config
+from tdnnf_nas_tpu.gmm.gmm import (
+    AmGmm, MonoHmmConfig, _linear_hmm_arrays, path_to_phone_bounds,
+    train_mono, viterbi_align_gmm,
+)
+from tdnnf_nas_tpu.gmm.transforms import (
+    apply_fmllr, estimate_fmllr, estimate_lda, estimate_mllt, splice_frames,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GmmLadderConfig(Config):
+    mono: MonoHmmConfig = MonoHmmConfig()
+    splice_context: int = 3
+    lda_dim: int = 0  # 0 => keep the input feature dim
+    mllt_iters: int = 6
+    lda_mllt_em_iters: int = 8
+    sat_em_iters: int = 6
+    fmllr_iters: int = 5
+    frame_subsampling_factor: int = 3
+
+
+@dataclasses.dataclass
+class GmmLadderResult:
+    am: AmGmm
+    transform: np.ndarray  # [D', spliced_D] LDA+MLLT feature transform
+    fmllr: dict  # speaker -> [D', D'+1]
+    begins: List[List[int]]  # per utt, OUTPUT-rate phone begins
+    ends: List[List[int]]
+    mono_ll: List[float]
+    mllt_aux: List[float]
+    fmllr_gain: float  # mean per-frame loglike gain from fMLLR
+
+
+def _state_classes(
+    am: AmGmm, phone_seqs, paths
+) -> List[np.ndarray]:
+    """Per-frame am-state ids from chain paths (LDA/MLLT classes)."""
+    out = []
+    for phones, path in zip(phone_seqs, paths):
+        ids = _linear_hmm_arrays(phones, am)
+        out.append(ids[path].astype(np.int64))
+    return out
+
+
+def _frame_gaussians(am: AmGmm, feats: np.ndarray, state_ids: np.ndarray):
+    """Hard-assign each frame to the best mixture of its aligned state;
+    returns ([T, D] means, [T, D] inv-vars) for fMLLR stats."""
+    t, d = feats.shape
+    mu = np.zeros((t, d))
+    iv = np.zeros((t, d))
+    for s in np.unique(state_ids):
+        g = am.gmms[int(s)]
+        sel = state_ids == s
+        comp = np.argmax(g.component_loglike(feats[sel]), axis=1)
+        mu[sel] = g.means[comp]
+        iv[sel] = 1.0 / g.variances[comp]
+    return mu, iv
+
+
+def run_gmm_ladder(
+    feats_list: Sequence[np.ndarray],  # INPUT-rate features per utt
+    phone_seqs: Sequence[Sequence[int]],
+    num_phones: int,
+    cfg: GmmLadderConfig = GmmLadderConfig(),
+    speakers: Optional[Sequence] = None,  # per-utt speaker id (None = one)
+) -> GmmLadderResult:
+    n = len(feats_list)
+    speakers = list(speakers) if speakers is not None else [0] * n
+    d_in = feats_list[0].shape[1]
+
+    # ---- stage 1: monophone flat-start EM (mono/tri1/tri2) -------------
+    am, paths, mono_ll = train_mono(feats_list, phone_seqs, num_phones,
+                                    cfg.mono)
+
+    # ---- stage 2: LDA + MLLT on spliced features (tri3) -----------------
+    spliced = [splice_frames(f, cfg.splice_context) for f in feats_list]
+    classes = _state_classes(am, phone_seqs, paths)
+    num_classes = num_phones * am.states_per_phone
+    lda_dim = cfg.lda_dim or d_in
+    lda = estimate_lda(spliced, classes, num_classes, lda_dim)
+    lda_feats = [x @ lda.T for x in spliced]
+    mllt, mllt_aux = estimate_mllt(lda_feats, classes, num_classes,
+                                   cfg.mllt_iters)
+    transform = mllt @ lda  # [lda_dim, spliced_D]
+    tr_feats = [x @ transform.T for x in spliced]
+    # retrain the GMMs in the transformed space (warm-started alignments)
+    am2, paths, _ = train_mono(
+        tr_feats, phone_seqs, num_phones,
+        dataclasses.replace(cfg.mono, num_iters=cfg.lda_mllt_em_iters),
+    )
+
+    # ---- stage 3: SAT / per-speaker fMLLR (tri4) ------------------------
+    spk_ids = sorted(set(speakers))
+    classes = _state_classes(am2, phone_seqs, paths)
+    fmllr = {}
+    base_ll, adapt_ll = 0.0, 0.0
+    frames = 0
+    for spk in spk_ids:
+        idx = [i for i in range(n) if speakers[i] == spk]
+        mus, ivs = [], []
+        for i in idx:
+            mu, iv = _frame_gaussians(am2, tr_feats[i], classes[i])
+            mus.append(mu)
+            ivs.append(iv)
+        w = estimate_fmllr([tr_feats[i] for i in idx], mus, ivs,
+                           cfg.fmllr_iters)
+        fmllr[spk] = w
+    adapted = [apply_fmllr(tr_feats[i], fmllr[speakers[i]]) for i in range(n)]
+    # retrain on adapted features (SAT) and final alignment pass
+    am3, paths, _ = train_mono(
+        adapted, phone_seqs, num_phones,
+        dataclasses.replace(cfg.mono, num_iters=cfg.sat_em_iters),
+    )
+    for i in range(n):
+        _, s0 = viterbi_align_gmm(tr_feats[i], phone_seqs[i], am2)
+        _, s1 = viterbi_align_gmm(adapted[i], phone_seqs[i], am3)
+        base_ll += s0
+        adapt_ll += s1
+        frames += tr_feats[i].shape[0]
+
+    # ---- alignments at the output frame rate ----------------------------
+    fs = cfg.frame_subsampling_factor
+    begins_out, ends_out = [], []
+    for i in range(n):
+        b, e = path_to_phone_bounds(paths[i], phone_seqs[i],
+                                    am3.states_per_phone)
+        t_out = max(1, feats_list[i].shape[0] // fs)
+        bb = [min(x // fs, t_out - 1) for x in b]
+        ee = [min(x // fs, t_out - 1) for x in e]
+        # keep begins strictly usable: end >= begin per phone
+        ee = [max(be, en) for be, en in zip(bb, ee)]
+        begins_out.append(bb)
+        ends_out.append(ee)
+
+    return GmmLadderResult(
+        am=am3, transform=transform, fmllr=fmllr,
+        begins=begins_out, ends=ends_out,
+        mono_ll=mono_ll, mllt_aux=mllt_aux,
+        fmllr_gain=(adapt_ll - base_ll) / max(frames, 1),
+    )

@@ -1,5 +1,6 @@
 from tdnnf_nas_tpu.recipes.chain_recipes import (
     DataBundle,
+    bootstrap_alignments_gmm,
     prepare_data,
     train_model,
     decode_corpus,

@@ -86,6 +86,28 @@ class DataBundle:
                         den_init_fn=den_init_lookup(self.den, self.num_phones))
 
 
+def bootstrap_alignments_gmm(utts, phone_seqs, num_phones: int,
+                             speakers=None, ladder_cfg=None):
+    """Replace the utterances' phone begin/end alignments with GMM-ladder
+    ones (mono -> LDA+MLLT -> SAT/fMLLR, gmm/ladder.py) — the classical
+    bootstrap of the reference (`run.sh` GMM stages +
+    `Prepare_NAS_data.sh:66-75` fMLLR aligns).  The alternative is the
+    flat-start chain self-alignment (decode/align.py).
+
+    Mutates and returns ``utts``; also returns the ladder result (model,
+    transforms, diagnostics).
+    """
+    from tdnnf_nas_tpu.gmm import GmmLadderConfig, run_gmm_ladder
+
+    cfg = ladder_cfg or GmmLadderConfig()
+    res = run_gmm_ladder([u.feats for u in utts], phone_seqs, num_phones,
+                         cfg, speakers=speakers)
+    for u, b, e in zip(utts, res.begins, res.ends):
+        u.begins = list(b)
+        u.ends = list(e)
+    return utts, res
+
+
 def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
                  dev_fraction: float = 0.05) -> DataBundle:
     """Estimate the phone LM, build the den graph, split train/dev.
