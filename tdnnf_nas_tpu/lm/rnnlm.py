@@ -224,3 +224,35 @@ class RnnLMScorer:
     def final_logprob(self, state) -> float:
         """ln P(</s> | prefix)."""
         return float(state[2][self.cfg.eos])
+
+
+def reverse_sentences(sents: Sequence[Sequence[int]]):
+    """Word-reversed corpus for training a backward LM — the reference's
+    `_back_` recipe trains kaldi-rnnlm on reversed text
+    (`local/rnnlm/run_tdnn_lstm_fbk40_mod_hasfisher_large_drop_e40_back_.sh`)."""
+    return [list(s)[::-1] for s in sents]
+
+
+class BidirectionalRnnLMScorer:
+    """Interpolated forward + backward RNNLM sentence scorer.
+
+    The reference rescores n-best lists with a forward RNNLM and a
+    backward RNNLM (trained on reversed text) and averages the two scores
+    (bidirectional rescoring, the `_back_` recipe pair).  `backward`
+    must have been trained on `reverse_sentences(corpus)`; its score of a
+    hypothesis is taken on the reversed word sequence.
+
+    score() is log10 — drop-in for `decode/rescore.rescore_nbest`.
+    """
+
+    def __init__(self, forward: RnnLMScorer, backward: RnnLMScorer,
+                 interp: float = 0.5):
+        assert 0.0 <= interp <= 1.0
+        self.forward = forward
+        self.backward = backward
+        self.interp = interp
+
+    def score(self, words: Sequence[int]) -> float:
+        f = self.forward.score(words)
+        b = self.backward.score(list(words)[::-1])
+        return self.interp * f + (1.0 - self.interp) * b

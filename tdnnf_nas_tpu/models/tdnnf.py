@@ -242,6 +242,7 @@ def apply_model(
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
     post_bn_scales=None,
+    layer_activations=None,
 ):
     """Forward pass.
 
@@ -251,6 +252,8 @@ def apply_model(
       post_bn_scales: optional {layer_name: [hidden]} multiplicative scales
         applied after each layer's batchnorm (LHUC adaptation,
         models/lhuc.py).
+      layer_activations: optional {layer_name: callable} replacing the ReLU
+        of individual tdnnf layers (GP activations, models/bayes.py).
 
     Returns:
       (chain_logits [B, T_out, P], xent_logits [B, T_out, P], new_bn_state)
@@ -288,13 +291,14 @@ def apply_model(
 
     chain, xent = tdnnf_stack_and_heads(cfg, params, bn_state, new_bn, x,
                                         train, dk, consumed_left=1,
-                                        post_bn_scales=post_bn_scales)
+                                        post_bn_scales=post_bn_scales,
+                                        layer_activations=layer_activations)
     return chain, xent, new_bn
 
 
 def tdnnf_stack_and_heads(
     cfg: TdnnfModelConfig, params, bn_state, new_bn, x, train, dk,
-    consumed_left: int = 1, post_bn_scales=None,
+    consumed_left: int = 1, post_bn_scales=None, layer_activations=None,
 ):
     """The tdnnf stack + prefinal/output heads on a hidden sequence x.
 
@@ -327,7 +331,8 @@ def tdnnf_stack_and_heads(
         bottleneck = spliced_linear(x, p["linear"], lin_off, compute_dtype=dt)
         cur = spliced_linear(bottleneck, p["affine"], aff_off, bias=p["affine_b"],
                              compute_dtype=dt)
-        cur = jax.nn.relu(cur)
+        act = layer_activations.get(name, jax.nn.relu) if layer_activations else jax.nn.relu
+        cur = act(cur)
         cur, new_bn[name] = _batchnorm(cur, bn_state[name], train)
         if post_bn_scales is not None and name in post_bn_scales:
             cur = cur * post_bn_scales[name]

@@ -7,6 +7,11 @@ opts `run_tdnn_7q_fbk_40_manual.sh:119-123`).  With exact per-step psum
 data-parallelism the natural-gradient-for-averaging machinery is
 unnecessary (SURVEY.md §2.5); Adam (default) or plain SGD both carry the
 max-change safety net, which is what actually stabilizes chain training.
+kind="ng" provides a full OnlineNaturalGradient equivalent — Kronecker-
+factored both-side covariance preconditioning (`nnet-tdnn-component.cc:
+592-624`), with full covariances + periodic eigh instead of Kaldi's
+low-rank online updates (full factored covariances are cheap MXU matmuls;
+the inverse amortizes over ng_update_period steps).
 
 Architecture logits get their own LR scale (``alpha_lr_scale``) — the
 explicit, documented version of the reference's x10000 alpha-grad scale
@@ -28,7 +33,7 @@ from tdnnf_nas_tpu.core.config import Config
 
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig(Config):
-    kind: str = "adam"  # adam | sgd | adafactor
+    kind: str = "adam"  # adam | sgd | adafactor | ng
     lr_initial: float = 1e-3
     lr_final: float = 1e-4
     num_steps: int = 1000
@@ -40,6 +45,17 @@ class OptimizerConfig(Config):
     max_change_global: float = 2.0  # Kaldi --trainer.max-param-change
     l2_regularize: float = 0.0  # decoupled weight decay (per-leaf scalable)
     alpha_lr_scale: float = 1.0
+    # kind="ng": Kronecker-factored natural-gradient SGD — the TPU-native
+    # equivalent of Kaldi's OnlineNaturalGradient (both-side gradient-
+    # covariance preconditioning, `nnet-tdnn-component.cc:592-624`).  Kaldi
+    # keeps low-rank online estimates because full covariances are expensive
+    # on GPU; on TPU the full factored covariances are cheap matmuls and the
+    # inverse is amortized over ng_update_period steps.
+    ng_alpha: float = 4.0        # trace-smoothing R = F + alpha*(trF/dim)*I
+                                 # (Kaldi's alpha, online-natural-gradient default)
+    ng_decay: float = 0.95       # covariance EMA (num-samples-history analog)
+    ng_update_period: int = 10   # recompute the inverse roots every N steps
+    ng_max_dim: int = 2048       # sides larger than this use identity
 
 
 def learning_rate_at(step, cfg: OptimizerConfig):
@@ -63,10 +79,33 @@ def make_optimizer(
     default); effective decay = l2_regularize * scale * lr.
     """
 
+    def _ng_sides(p):
+        """Static decision: which sides of a leaf get preconditioned."""
+        if p.ndim < 2:
+            return False, False
+        m = int(np.prod(p.shape[:-1]))
+        n = int(p.shape[-1])
+        return m <= cfg.ng_max_dim, n <= cfg.ng_max_dim
+
     def init_fn(params):
         zeros = jax.tree.map(jnp.zeros_like, params)
         if cfg.kind == "adam":
             return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params)}
+        if cfg.kind == "ng":
+            def ng_zeros(p):
+                use_l, use_r = _ng_sides(p)
+                m = int(np.prod(p.shape[:-1])) if p.ndim >= 2 else 0
+                n = int(p.shape[-1]) if p.ndim >= 2 else 0
+                s = {}
+                if use_l:
+                    s["cl"] = jnp.zeros((m, m))
+                    s["pl"] = jnp.eye(m)
+                if use_r:
+                    s["cr"] = jnp.zeros((n, n))
+                    s["pr"] = jnp.eye(n)
+                return s
+            return {"ng": jax.tree.map(ng_zeros, params,
+                                       is_leaf=lambda x: hasattr(x, "ndim"))}
         if cfg.kind == "adafactor":
             def factored_zeros(p):
                 if p.ndim >= 2:
@@ -120,6 +159,56 @@ def make_optimizer(
             pairs = [upd(f, g) for f, g in zip(flat_f, flat_g)]
             new_state = {"f": jax.tree_util.tree_unflatten(
                 treedef, [p[0] for p in pairs])}
+            deltas = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(grads), [p[1] for p in pairs])
+        elif cfg.kind == "ng":
+            # Kronecker-factored NG: G' = Rl^{-1} G Rr^{-1} with
+            # R = C + alpha*(trC/dim)*I (heavy damping, Kaldi's alpha), C the
+            # EMA of the per-side gradient covariance; G' rescaled to ||G||
+            # (Kaldi likewise rescales the preconditioned direction).  The
+            # inverses are recomputed every ng_update_period steps (eigh),
+            # identity in between updates of the covariances themselves.
+            recompute = (step % cfg.ng_update_period) == 0
+
+            def inv_smoothed(c):
+                d = c.shape[0]
+                damp = cfg.ng_alpha * (jnp.trace(c) / d) + 1e-8
+                w, v = jnp.linalg.eigh(c + damp * jnp.eye(d))
+                return (v / jnp.maximum(w, 1e-12)) @ v.T
+
+            def upd(s, g):
+                use_l = "cl" in s
+                use_r = "cr" in s
+                if not (use_l or use_r):
+                    return s, -lr * g
+                g2d = g.reshape(-1, g.shape[-1])
+                ns = dict(s)
+                pre = g2d
+                if use_l:
+                    cl = cfg.ng_decay * s["cl"] + (1 - cfg.ng_decay) * (
+                        g2d @ g2d.T / g2d.shape[1])
+                    pl = jax.lax.cond(recompute, inv_smoothed, lambda c: s["pl"], cl)
+                    ns["cl"], ns["pl"] = cl, pl
+                    pre = pl @ pre
+                if use_r:
+                    cr = cfg.ng_decay * s["cr"] + (1 - cfg.ng_decay) * (
+                        g2d.T @ g2d / g2d.shape[0])
+                    pr = jax.lax.cond(recompute, inv_smoothed, lambda c: s["pr"], cr)
+                    ns["cr"], ns["pr"] = cr, pr
+                    pre = pre @ pr
+                norm_g = jnp.sqrt(jnp.sum(jnp.square(g2d)) + 1e-30)
+                norm_p = jnp.sqrt(jnp.sum(jnp.square(pre)) + 1e-30)
+                pre = pre * (norm_g / norm_p)
+                return ns, (-lr * pre).reshape(g.shape)
+
+            is_ng_leaf = lambda x: isinstance(x, dict) and (
+                "cl" in x or "cr" in x or not x)
+            flat_s, s_treedef = jax.tree_util.tree_flatten(
+                opt_state["ng"], is_leaf=is_ng_leaf)
+            flat_g = jax.tree_util.tree_leaves(grads)
+            pairs = [upd(s, g) for s, g in zip(flat_s, flat_g)]
+            new_state = {"ng": jax.tree_util.tree_unflatten(
+                s_treedef, [p[0] for p in pairs])}
             deltas = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(grads), [p[1] for p in pairs])
         elif cfg.momentum > 0:

@@ -42,3 +42,31 @@ def test_rnnlm_rescoring_interface():
     rescored = rescore_nbest(nbest, wlm, scorer, lm_scale=1.0,
                              word_to_token=lambda w: w)
     assert rescored[0][0] == [2, 3, 4]
+
+
+def test_bidirectional_rescoring():
+    """Backward LM (reversed-text training) + interpolated scoring — the
+    reference's `_back_` recipe pair."""
+    from tdnnf_nas_tpu.lm.rnnlm import (BidirectionalRnnLMScorer,
+                                        reverse_sentences)
+
+    rng = np.random.RandomState(2)
+    sents = _patterned_sentences(rng)
+    cfg = RnnLMConfig(vocab_size=10, embed_dim=16, hidden_dim=32, dropout=0.0)
+    fwd_params, _ = train_rnnlm(sents, cfg, num_steps=120, batch_size=16,
+                                lr=5e-3)
+    bwd_params, bppl = train_rnnlm(reverse_sentences(sents), cfg,
+                                   num_steps=120, batch_size=16, lr=5e-3)
+    assert bppl < 5.0, bppl  # backward pattern is just as learnable
+    bi = BidirectionalRnnLMScorer(RnnLMScorer(cfg, fwd_params),
+                                  RnnLMScorer(cfg, bwd_params), interp=0.5)
+    good = bi.score([3, 4, 5, 6])
+    bad = bi.score([3, 9, 1, 7])
+    assert good > bad + 1.0, (good, bad)
+
+    wlm = WordLM(probs=np.full((11, 10), 0.08, np.float32),
+                 final=np.full((11,), 0.2, np.float32), num_words=10)
+    nbest = [([2, 3, 4], -50.0), ([2, 8, 5], -50.0)]
+    rescored = rescore_nbest(nbest, wlm, bi, lm_scale=1.0,
+                             word_to_token=lambda w: w)
+    assert rescored[0][0] == [2, 3, 4]

@@ -96,3 +96,30 @@ def test_valid_step_runs(setup):
     batch = next(batch_iterator(chunks, batch_size=4, rng=rng))
     m = valid(state, batch)
     assert np.isfinite(float(m["objf_mmi"]))
+
+
+def test_e2e_training_with_ng_optimizer(setup):
+    """The natural-gradient preconditioner (kind='ng') trains the chain
+    model end-to-end: objective improves, state stays finite."""
+    model_cfg, chunks, den, lm, tree, topo = setup
+    trainer_cfg = TrainerConfig(
+        objective=ChainObjectiveConfig(xent_regularize=0.1, leaky_hmm_coef=0.1),
+        optimizer=OptimizerConfig(kind="ng", lr_initial=3e-2, lr_final=1e-2,
+                                  num_steps=70, ng_update_period=4),
+    )
+    state = init_train_state(model_cfg, trainer_cfg, jax.random.PRNGKey(0))
+    den_arr = DenGraphArrays.from_graph(den)
+    step = make_train_step(model_cfg, trainer_cfg, den_arr)
+    rng = np.random.RandomState(2)
+    it = batch_iterator(chunks, batch_size=8, rng=rng, epochs=None)
+    key = jax.random.PRNGKey(7)
+    first = last = None
+    for i, batch in enumerate(it):
+        if i >= 70:
+            break
+        state, metrics = step(state, batch, key)
+        if first is None:
+            first = float(metrics["objf_mmi"])
+        last = float(metrics["objf_mmi"])
+    assert np.isfinite(last)
+    assert last > first + 0.4, (first, last)
