@@ -264,3 +264,130 @@ def forward_score_reference(
             log_alpha = np.logaddexp(log_alpha, leak)
         log_alpha = np.logaddexp.reduce(log_alpha[:, None] + log_trans, axis=0) + obs_s[t]
     return float(np.logaddexp.reduce(log_alpha + log_final))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseDenGraph:
+    """Padded-CSR denominator graph for triphone-scale state spaces.
+
+    The dense [S,S] transition matrix is quadratic in states — fine for the
+    biphone den graph (S=2208 at the flagship) but infeasible for
+    triphone-clustered dens (S in the tens of thousands, where the
+    reference's `chain-make-den-fst` output is sparse).  Here each state
+    keeps its in-arcs padded to the graph's max in-degree K:
+
+      in_src [S, K] int32  source state per in-arc (self-padded)
+      in_w   [S, K] f32    arc probability (0 for padding)
+
+    and the recursion becomes a gather + weighted sum (VPU) instead of an
+    MXU matmul — O(S*K) per frame instead of O(S^2).
+    """
+
+    in_src: jax.Array  # [S, K] int32
+    in_w: jax.Array  # [S, K] f32
+    state_pdf: jax.Array  # [S] int32
+    init: jax.Array  # [S] f32
+    final: jax.Array  # [S] f32
+
+    @classmethod
+    def from_graph(cls, g: StateGraph) -> "SparseDenGraph":
+        trans = np.asarray(g.trans)
+        s = trans.shape[0]
+        cols = [np.nonzero(trans[:, j])[0] for j in range(s)]
+        k = max(1, max(len(c) for c in cols))
+        in_src = np.zeros((s, k), np.int32)
+        in_w = np.zeros((s, k), np.float32)
+        for j, c in enumerate(cols):
+            in_src[j, : len(c)] = c
+            in_w[j, : len(c)] = trans[c, j]
+        return cls(
+            in_src=jnp.asarray(in_src),
+            in_w=jnp.asarray(in_w),
+            state_pdf=jnp.asarray(g.state_pdf),
+            init=jnp.asarray(g.init),
+            final=jnp.asarray(g.final),
+        )
+
+    @classmethod
+    def from_arcs(cls, num_states: int, src, dst, weight, state_pdf, init,
+                  final) -> "SparseDenGraph":
+        """Build from flat arc lists (the natural output of a den-FST
+        compiler) without materializing the dense matrix."""
+        src = np.asarray(src, np.int32)
+        dst = np.asarray(dst, np.int32)
+        weight = np.asarray(weight, np.float32)
+        order = np.argsort(dst, kind="stable")
+        src, dst, weight = src[order], dst[order], weight[order]
+        counts = np.bincount(dst, minlength=num_states)
+        k = max(1, int(counts.max()))
+        in_src = np.zeros((num_states, k), np.int32)
+        in_w = np.zeros((num_states, k), np.float32)
+        pos = np.zeros(num_states, np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        for a in range(len(src)):
+            j = dst[a]
+            in_src[j, pos[j]] = src[a]
+            in_w[j, pos[j]] = weight[a]
+            pos[j] += 1
+        del starts
+        return cls(
+            in_src=jnp.asarray(in_src),
+            in_w=jnp.asarray(in_w),
+            state_pdf=jnp.asarray(np.asarray(state_pdf, np.int32)),
+            init=jnp.asarray(np.asarray(init, np.float32)),
+            final=jnp.asarray(np.asarray(final, np.float32)),
+        )
+
+    def tree_flatten(self):
+        return (self.in_src, self.in_w, self.state_pdf, self.init,
+                self.final), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@partial(jax.jit, static_argnames=("leaky_coef_static",))
+def _forward_score_sparse_impl(obs_logprob, in_src, in_w, state_pdf, init,
+                               final, leaky_coef_static):
+    b, t, _ = obs_logprob.shape
+    obs_logprob = obs_logprob.astype(jnp.float32)
+    mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
+    obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
+    obs_state = _gather_obs(obs_exp, state_pdf)  # [B,T,S]
+    init_b = init[None, :]
+
+    a0 = init_b * obs_state[:, 0]
+    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
+    alpha0 = a0 / c0[:, None]
+
+    obs_rest = jnp.moveaxis(obs_state[:, 1:], 1, 0)  # [T-1, B, S]
+
+    def step(alpha, obs_t):
+        if leaky_coef_static > 0.0:
+            alpha = alpha + leaky_coef_static * init_b
+        gathered = alpha[:, in_src]  # [B, S, K]
+        a = jnp.sum(gathered * in_w, axis=-1) * obs_t
+        c = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
+        return a / c[:, None], jnp.log(c)
+
+    alpha_last, logcs = jax.lax.scan(step, alpha0, obs_rest)
+    log_final = jnp.log(jnp.maximum(jnp.sum(alpha_last * final[None, :],
+                                            axis=-1), _TINY))
+    return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(
+        mx[:, :, 0], axis=1)
+
+
+def forward_score_sparse(
+    obs_logprob: jax.Array,
+    g: "SparseDenGraph",
+    leaky_coef: float = 0.0,
+) -> jax.Array:
+    """forward_score over a SparseDenGraph — identical math to the dense
+    kernel (tested bit-close), O(S*K) gathers per frame instead of the
+    [S,S] matmul."""
+    return _forward_score_sparse_impl(
+        obs_logprob, g.in_src, g.in_w, g.state_pdf, g.init, g.final,
+        float(leaky_coef),
+    )

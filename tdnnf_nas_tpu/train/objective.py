@@ -27,8 +27,10 @@ from tdnnf_nas_tpu.core.config import Config
 from tdnnf_nas_tpu.graphs.supervision import ChunkSupervision
 from tdnnf_nas_tpu.ops.fwdbwd import (
     DenGraphArrays,
+    SparseDenGraph,
     forward_score,
     forward_score_linear,
+    forward_score_sparse,
 )
 
 
@@ -57,7 +59,12 @@ def chain_objective(
     b, t, p = chain_out.shape
     n_frames = b * t
 
-    if cfg.pallas_den:
+    if isinstance(den, SparseDenGraph):
+        # padded-CSR den (triphone-scale state spaces)
+        logz_den = forward_score_sparse(
+            chain_out, den, leaky_coef=cfg.leaky_hmm_coef,
+        )
+    elif cfg.pallas_den:
         from tdnnf_nas_tpu.ops.pallas_fwdbwd import pallas_forward_score
 
         logz_den = pallas_forward_score(

@@ -108,3 +108,103 @@ def test_score_invariant_to_output_shift():
     obs2 = obs.copy(); obs2[0, 2, :] += 7.5
     z1 = np.asarray(forward_score(jnp.asarray(obs2), *args))[0]
     np.testing.assert_allclose(z1 - z0, 7.5, atol=1e-4)
+
+
+def test_sparse_den_matches_dense():
+    """SparseDenGraph forward (+grad) == dense forward on a biphone den."""
+    import jax
+    from tdnnf_nas_tpu.data import SyntheticCorpusConfig, make_synthetic_corpus
+    from tdnnf_nas_tpu.graphs import estimate_phone_lm, build_denominator_graph
+    from tdnnf_nas_tpu.ops.fwdbwd import (SparseDenGraph, forward_score,
+                                          forward_score_sparse)
+
+    cfg = SyntheticCorpusConfig(num_utts=10, num_phones=5, feat_dim=8)
+    utts, phone_seqs, tree, topo = make_synthetic_corpus(cfg)
+    lm = estimate_phone_lm(phone_seqs, cfg.num_phones)
+    den = build_denominator_graph(lm, topo, tree)
+    sp = SparseDenGraph.from_graph(den)
+    assert sp.in_src.shape[1] <= den.num_states
+
+    rng = np.random.RandomState(0)
+    obs = jnp.asarray(rng.randn(3, 12, den.num_pdfs).astype(np.float32))
+
+    for leaky in (0.0, 0.1):
+        z_dense = forward_score(obs, jnp.asarray(den.trans),
+                                jnp.asarray(den.state_pdf),
+                                jnp.asarray(den.init), jnp.asarray(den.final),
+                                leaky_coef=leaky)
+        z_sparse = forward_score_sparse(obs, sp, leaky_coef=leaky)
+        np.testing.assert_allclose(np.asarray(z_sparse), np.asarray(z_dense),
+                                   rtol=1e-5)
+
+    g_dense = jax.grad(lambda o: jnp.sum(forward_score(
+        o, jnp.asarray(den.trans), jnp.asarray(den.state_pdf),
+        jnp.asarray(den.init), jnp.asarray(den.final), leaky_coef=0.1)))(obs)
+    g_sparse = jax.grad(lambda o: jnp.sum(forward_score_sparse(
+        o, sp, leaky_coef=0.1)))(obs)
+    np.testing.assert_allclose(np.asarray(g_sparse), np.asarray(g_dense),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_sparse_den_from_arcs():
+    """from_arcs builds the same padded-CSR as from_graph (via the dense
+    matrix of a small random stochastic graph)."""
+    from tdnnf_nas_tpu.graphs.fsa import StateGraph
+    from tdnnf_nas_tpu.ops.fwdbwd import (SparseDenGraph, forward_score,
+                                          forward_score_sparse)
+
+    rng = np.random.RandomState(1)
+    s, p = 12, 6
+    trans = np.zeros((s, s), np.float32)
+    for i in range(s):
+        nz = rng.choice(s, size=3, replace=False)
+        w = rng.rand(3).astype(np.float32)
+        trans[i, nz] = w / w.sum()
+    init = np.ones(s, np.float32) / s
+    final = np.ones(s, np.float32)
+    pdf = rng.randint(0, p, size=s).astype(np.int32)
+    g = StateGraph(trans=trans, state_pdf=pdf, init=init, final=final,
+                   num_pdfs=p)
+    src, dst = np.nonzero(trans)
+    sp = SparseDenGraph.from_arcs(s, src, dst, trans[src, dst], pdf, init,
+                                  final)
+    obs = jnp.asarray(rng.randn(2, 9, p).astype(np.float32))
+    z1 = forward_score_sparse(obs, sp, leaky_coef=0.05)
+    z2 = forward_score(obs, jnp.asarray(trans), jnp.asarray(pdf),
+                       jnp.asarray(init), jnp.asarray(final), leaky_coef=0.05)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-5)
+
+
+def test_sparse_den_in_chain_objective():
+    """chain_objective dispatches on SparseDenGraph and matches dense."""
+    from tdnnf_nas_tpu.data import (SyntheticCorpusConfig,
+                                    make_synthetic_corpus, EgsConfig,
+                                    make_egs, batch_iterator)
+    from tdnnf_nas_tpu.graphs import (estimate_phone_lm,
+                                      build_denominator_graph,
+                                      den_init_lookup)
+    from tdnnf_nas_tpu.ops.fwdbwd import DenGraphArrays, SparseDenGraph
+    from tdnnf_nas_tpu.train.objective import (ChainObjectiveConfig,
+                                               chain_objective)
+
+    cfg = SyntheticCorpusConfig(num_utts=12, num_phones=5, feat_dim=8)
+    utts, phone_seqs, tree, topo = make_synthetic_corpus(cfg)
+    lm = estimate_phone_lm(phone_seqs, cfg.num_phones)
+    den = build_denominator_graph(lm, topo, tree)
+    egs_cfg = EgsConfig(chunk_width=10, left_context=4, right_context=4,
+                        max_phones_per_chunk=12)
+    chunks = make_egs(utts, lm, topo, tree, egs_cfg,
+                      den_init_fn=den_init_lookup(den, cfg.num_phones))
+    batch = next(batch_iterator(chunks, batch_size=4,
+                                rng=np.random.RandomState(0)))
+    rng = np.random.RandomState(2)
+    chain_out = jnp.asarray(rng.randn(4, 10, den.num_pdfs).astype(np.float32))
+    xent_out = jnp.asarray(rng.randn(4, 10, den.num_pdfs).astype(np.float32))
+    ocfg = ChainObjectiveConfig()
+    l1, m1 = chain_objective(chain_out, xent_out,
+                             DenGraphArrays.from_graph(den), batch["sup"], ocfg)
+    l2, m2 = chain_objective(chain_out, xent_out,
+                             SparseDenGraph.from_graph(den), batch["sup"], ocfg)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["objf_mmi"]), float(m2["objf_mmi"]),
+                               rtol=1e-5)
