@@ -9,3 +9,10 @@ from tdnnf_nas_tpu.graphs.supervision import (
     make_chunk_supervision,
     stack_supervisions,
 )
+from tdnnf_nas_tpu.graphs.tree_cluster import (
+    ClusteredBiphoneTree,
+    TreeStats,
+    accumulate_tree_stats,
+    build_clustered_tree,
+    build_tree_from_corpus,
+)

@@ -1,0 +1,222 @@
+"""Stats-driven clustered phonetic-context tree.
+
+Equivalent of the reference pipeline's tree-building stage (upstream Kaldi
+`steps/nnet3/chain/build_tree.sh` -> `build-tree`, producing the
+likelihood-clustered tied-state tree `exp/chain/tri5_7d_tree_sp` with 6034
+leaves referenced by every recipe, e.g.
+`local/chain_NAS/run_TDNN_DARTSV3_fbk_stride_pretrain.sh:75`).
+
+Kaldi grows a top-down decision tree over context questions; the quantity it
+optimizes is the training-data log-likelihood under one diagonal Gaussian
+per leaf.  Here the same objective is optimized bottom-up: accumulate
+diagonal-Gaussian sufficient statistics per seen biphone forward state from
+alignments, then greedily merge — within each central phone, like Kaldi's
+default roots — the pair of clusters with the smallest log-likelihood loss
+
+    cost(a, b) = L(a) + L(b) - L(a u b),
+    L(c) = -n_c/2 * (d*log(2*pi*e) + sum_i log var_c[i])
+
+until the forward-leaf budget is met (a priority-queue agglomerative
+clustering; equivalent objective, simpler machinery, exact for the
+biphone context used by the chain flat-start path).
+
+The result plugs in as a drop-in `BiphoneTree` (same pdf layout: clustered
+forward pdfs + one self-loop pdf per phone), so den graph, supervision, and
+decode all work unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from tdnnf_nas_tpu.graphs.topology import FORWARD, BiphoneTree
+
+_VAR_FLOOR = 1e-4
+
+
+@dataclasses.dataclass
+class TreeStats:
+    """Diagonal-Gaussian sufficient stats per (phone, left_phone) forward
+    state: counts [P, P+1], sums [P, P+1, D], sumsqs [P, P+1, D]
+    (left index 0 == BOS/-1)."""
+
+    counts: np.ndarray
+    sums: np.ndarray
+    sumsqs: np.ndarray
+
+    @property
+    def num_phones(self) -> int:
+        return self.counts.shape[0]
+
+
+def accumulate_tree_stats(
+    feats: Sequence[np.ndarray],
+    phone_seqs: Sequence[Sequence[int]],
+    begins: Sequence[Sequence[int]],
+    num_phones: int,
+    frame_subsampling_factor: int = 1,
+) -> TreeStats:
+    """Accumulate per-biphone forward-frame Gaussian stats from alignments.
+
+    feats[i]: [T, D] input-rate features; begins[i]: output-rate phone start
+    frames (the chain alignment convention) — the stats use the feature
+    frame at each phone's start (the frame the FORWARD pdf emits).
+    """
+    d = feats[0].shape[-1]
+    counts = np.zeros((num_phones, num_phones + 1), np.float64)
+    sums = np.zeros((num_phones, num_phones + 1, d), np.float64)
+    sumsqs = np.zeros((num_phones, num_phones + 1, d), np.float64)
+    for x, phones, bg in zip(feats, phone_seqs, begins):
+        x = np.asarray(x, np.float64)
+        left = -1
+        for j, p in enumerate(phones):
+            t = min(int(bg[j]) * frame_subsampling_factor, len(x) - 1)
+            f = x[t]
+            counts[p, left + 1] += 1.0
+            sums[p, left + 1] += f
+            sumsqs[p, left + 1] += f * f
+            left = p
+    return TreeStats(counts, sums, sumsqs)
+
+
+def _loglike(n, s, ss):
+    """Optimal diagonal-Gaussian data log-likelihood of a stats cluster."""
+    if n < 1e-8:
+        return 0.0
+    mean = s / n
+    var = np.maximum(ss / n - mean * mean, _VAR_FLOOR)
+    d = s.shape[-1]
+    return -0.5 * n * (d * math.log(2.0 * math.pi * math.e)
+                       + float(np.sum(np.log(var))))
+
+
+class ClusteredBiphoneTree(BiphoneTree):
+    """BiphoneTree whose forward-pdf table came from likelihood clustering."""
+
+    def __init__(self, num_phones: int, fwd_table: np.ndarray, n_fwd: int):
+        self.num_phones = num_phones
+        self.context_width = 2
+        self._fwd_table = np.asarray(fwd_table, np.int64)
+        self._n_fwd = int(n_fwd)
+        self.num_pdfs = self._n_fwd + num_phones
+
+
+def build_clustered_tree(
+    stats: TreeStats,
+    num_leaves: int,
+    min_count: float = 1.0,
+) -> ClusteredBiphoneTree:
+    """Agglomerative likelihood clustering of biphone forward states.
+
+    num_leaves caps the FORWARD pdf count (total pdfs = num_leaves +
+    num_phones self-loops).  Contexts with count < min_count are merged
+    into their phone's garbage cluster up front (Kaldi ties unseen/rare
+    contexts the same way).
+    """
+    p_count = stats.num_phones
+    n_ctx = p_count + 1
+    # start: one cluster per seen context, one fallback cluster per phone
+    # for rare/unseen contexts
+    cluster_of = np.full((p_count, n_ctx), -1, np.int64)
+    clusters: List[Optional[dict]] = []  # {phone, n, s, ss, members}
+
+    for p in range(p_count):
+        rare = [c for c in range(n_ctx) if stats.counts[p, c] < min_count]
+        seen = [c for c in range(n_ctx) if stats.counts[p, c] >= min_count]
+        cid = len(clusters)
+        clusters.append({
+            "phone": p,
+            "n": float(stats.counts[p, rare].sum()),
+            "s": stats.sums[p, rare].sum(axis=0),
+            "ss": stats.sumsqs[p, rare].sum(axis=0),
+        })
+        cluster_of[p, rare] = cid
+        for c in seen:
+            cid = len(clusters)
+            clusters.append({
+                "phone": p,
+                "n": float(stats.counts[p, c]),
+                "s": stats.sums[p, c].copy(),
+                "ss": stats.sumsqs[p, c].copy(),
+            })
+            cluster_of[p, c] = cid
+
+    def merge_cost(a, b):
+        la = _loglike(a["n"], a["s"], a["ss"])
+        lb = _loglike(b["n"], b["s"], b["ss"])
+        lab = _loglike(a["n"] + b["n"], a["s"] + b["s"], a["ss"] + b["ss"])
+        return la + lb - lab
+
+    # priority queue of within-phone candidate merges; entries carry the
+    # version of each endpoint so costs computed against absorbed/updated
+    # clusters are discarded on pop (lazy deletion + staleness check)
+    alive = [True] * len(clusters)
+    version = [0] * len(clusters)
+    by_phone: List[List[int]] = [[] for _ in range(p_count)]
+    for i, c in enumerate(clusters):
+        by_phone[c["phone"]].append(i)
+    heap: List[tuple] = []
+    for p in range(p_count):
+        ids = by_phone[p]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                heapq.heappush(heap, (merge_cost(clusters[a], clusters[b]),
+                                      a, b, 0, 0))
+
+    num_alive = len(clusters)
+    target = max(num_leaves, p_count)  # >= one forward leaf per phone
+    while num_alive > target and heap:
+        cost, a, b, va, vb = heapq.heappop(heap)
+        if not (alive[a] and alive[b]) or version[a] != va or version[b] != vb:
+            continue
+        # merge b into a
+        ca, cb = clusters[a], clusters[b]
+        ca["n"] += cb["n"]
+        ca["s"] = ca["s"] + cb["s"]
+        ca["ss"] = ca["ss"] + cb["ss"]
+        alive[b] = False
+        clusters[b] = None
+        version[a] += 1
+        num_alive -= 1
+        cluster_of[cluster_of == b] = a
+        # refresh candidate merges involving a
+        for o in by_phone[ca["phone"]]:
+            if o != a and alive[o] and clusters[o] is not None:
+                heapq.heappush(heap, (merge_cost(ca, clusters[o]),
+                                      min(a, o), max(a, o),
+                                      version[min(a, o)], version[max(a, o)]))
+
+    # compact ids
+    remap = {}
+    for i, ok in enumerate(alive):
+        if ok:
+            remap[i] = len(remap)
+    n_fwd = len(remap)
+    fwd_table = np.zeros(p_count * n_ctx, np.int64)
+    for p in range(p_count):
+        for c in range(n_ctx):
+            fwd_table[p * n_ctx + c] = remap[int(cluster_of[p, c])]
+    return ClusteredBiphoneTree(p_count, fwd_table, n_fwd)
+
+
+def build_tree_from_corpus(
+    utts,
+    phone_seqs: Sequence[Sequence[int]],
+    num_phones: int,
+    num_leaves: int,
+    frame_subsampling_factor: int = 1,
+    min_count: float = 1.0,
+) -> ClusteredBiphoneTree:
+    """One-call tree build from aligned utterances (the `build_tree.sh`
+    equivalent; alignments from the GMM ladder or flat-start chain)."""
+    stats = accumulate_tree_stats(
+        [u.feats for u in utts], phone_seqs, [u.begins for u in utts],
+        num_phones, frame_subsampling_factor,
+    )
+    return build_clustered_tree(stats, num_leaves, min_count=min_count)
