@@ -93,7 +93,7 @@ def main():
         state, metrics = step(state, batch, key)
     jax.block_until_ready(metrics)
 
-    n_steps = 10
+    n_steps = 30  # enough to average out the remote-dispatch jitter
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch, key)

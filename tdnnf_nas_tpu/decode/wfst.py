@@ -142,3 +142,95 @@ def decode_words(
     )
     hyps = [path_to_words(np.asarray(p), dg.word_of_state) for p in paths]
     return hyps, np.asarray(scores)
+
+
+def build_decoding_graph_crossword(
+    lexicon: Lexicon,
+    word_lm: WordLM,
+    topo: ChainTopology,
+    tree,
+    lm_scale: float = 1.0,
+) -> DecodingGraph:
+    """Cross-word biphone decoding graph.
+
+    Like build_decoding_graph, but each word's FIRST phone gets one enter
+    variant per possible left context (BOS + every predecessor word's final
+    phone), so word-initial forward pdfs see the TRUE cross-word left phone
+    — the exact-C composition the reference gets from `utils/mkgraph.sh`'s
+    context FST, rather than the word-position-dependent approximation.
+
+    State layout per word w (pron p_1..p_K), contexts c_0=-1 < c_1 < ...:
+      [enter(w,1|c_0), ..., enter(w,1|c_V), loop(w,1),
+       enter(w,2), loop(w,2), ..., enter(w,K), loop(w,K)]
+    """
+    a = topo.self_loop_prob
+    words = sorted(lexicon.prons)
+    final_phone = {w: lexicon.prons[w][-1] for w in words}
+    contexts = [-1] + sorted({final_phone[w] for w in words})
+    ctx_idx = {c: i for i, c in enumerate(contexts)}
+    v = len(contexts)
+
+    offsets = {}
+    s = 0
+    for w in words:
+        offsets[w] = s
+        s += v + 1 + 2 * (len(lexicon.prons[w]) - 1)
+    trans = np.zeros((s, s), dtype=np.float64)
+    state_pdf = np.zeros((s,), np.int32)
+    init = np.zeros((s,), np.float64)
+    final = np.zeros((s,), np.float64)
+    word_of_state = np.full((s,), -1, np.int32)
+
+    probs = word_lm.probs.astype(np.float64) ** lm_scale
+    finals = word_lm.final.astype(np.float64) ** lm_scale
+
+    def enter_state(w, phone_idx, ctx=-1):
+        base = offsets[w]
+        if phone_idx == 0:
+            return base + ctx_idx[ctx]
+        return base + v + 1 + 2 * (phone_idx - 1)
+
+    def loop_state(w, phone_idx):
+        base = offsets[w]
+        if phone_idx == 0:
+            return base + v
+        return base + v + 2 + 2 * (phone_idx - 1)
+
+    for w in words:
+        pron = lexicon.prons[w]
+        base = offsets[w]
+        # first-phone enter variants + its loop
+        for c in contexts:
+            e = enter_state(w, 0, c)
+            state_pdf[e] = tree.forward_pdf(pron[0], c)
+            word_of_state[e] = w
+        state_pdf[loop_state(w, 0)] = tree.self_loop_pdf(pron[0])
+        # later phones: within-word left context
+        for i in range(1, len(pron)):
+            state_pdf[enter_state(w, i)] = tree.forward_pdf(pron[i], pron[i - 1])
+            state_pdf[loop_state(w, i)] = tree.self_loop_pdf(pron[i])
+
+        k = len(pron)
+        for i in range(k):
+            srcs = ([enter_state(w, 0, c) for c in contexts] if i == 0
+                    else [enter_state(w, i)])
+            srcs.append(loop_state(w, i))
+            for src in srcs:
+                trans[src, loop_state(w, i)] += a
+                if i + 1 < k:
+                    trans[src, enter_state(w, i + 1)] += 1.0 - a
+                else:
+                    for vv in words:
+                        trans[src, enter_state(vv, 0, final_phone[w])] += (
+                            (1.0 - a) * probs[w + 1, vv])
+                    final[src] = (1.0 - a) * finals[w + 1]
+        init[enter_state(w, 0, -1)] = probs[0, w]
+
+    g = StateGraph(
+        trans=trans.astype(np.float32),
+        state_pdf=state_pdf,
+        init=(init / max(init.sum(), 1e-30)).astype(np.float32),
+        final=final.astype(np.float32),
+        num_pdfs=tree.num_pdfs,
+    )
+    return DecodingGraph(graph=g, word_of_state=word_of_state)

@@ -501,7 +501,7 @@ def _supernet_heads(cfg, params, bn_state, new_bn, x, bn_train, coefs):
     """Subsample + prefinal/output heads (shared by scan and unrolled paths)."""
     b = cfg.base
     dt = b.dtype
-    x = x[:, :: b.frame_subsampling_factor]
+    x = base.subsample_time(x, 0, b.frame_subsampling_factor)
     pl = jnp.matmul(x.astype(dt), params["prefinal_l"].astype(dt),
                     preferred_element_type=jnp.float32)
     outs = []

@@ -139,6 +139,24 @@ def _subsample_layer_index(cfg: TdnnfModelConfig) -> int:
     return k
 
 
+def subsample_time(x: jax.Array, phase: int, fs: int) -> jax.Array:
+    """x[:, phase::fs] with a TPU-friendly backward.
+
+    The naive strided index lowers through gather, whose transpose is a
+    scatter-add over the full-rate hidden tensor plus layout-changing
+    copies — measured as the dominant cost of the whole model backward.
+    Slice + reshape + static index transposes to pads/reshapes instead.
+    """
+    if fs == 1:
+        return x[:, phase:]
+    b, t, f = x.shape
+    n_out = (t - phase + fs - 1) // fs
+    need = phase + n_out * fs
+    if need > t:
+        x = jnp.pad(x, ((0, 0), (0, need - t), (0, 0)))
+    return x[:, phase:need].reshape(b, n_out, fs, f)[:, :, 0]
+
+
 def _linear_init(key, shape, in_dim):
     return (jax.random.normal(key, shape, jnp.float32) / np.sqrt(in_dim)).astype(jnp.float32)
 
@@ -320,7 +338,7 @@ def tdnnf_stack_and_heads(
             # original coords; x's frame 0 sits at original position p_k
             p_k = consumed_left + sum(pl for pl, _ in pairs[:i])
             phase = (left_total - p_k) % fs
-            x = x[:, phase::fs]
+            x = subsample_time(x, phase, fs)
             subsampled = True
         if subsampled:
             l, r = l // fs, r // fs
@@ -343,7 +361,7 @@ def tdnnf_stack_and_heads(
 
     # --- subsample to output frame rate (if not already there) ---
     if not subsampled and fs > 1:
-        x = x[:, ::fs]
+        x = subsample_time(x, 0, fs)
 
     # --- prefinal-l ---
     pl = jnp.matmul(x.astype(dt), params["prefinal_l"].astype(dt),

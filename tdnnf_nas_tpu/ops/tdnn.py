@@ -2,11 +2,14 @@
 
 TPU-native equivalent of the reference's `TdnnComponent` /
 `TdnnDARTSV3Component` propagate math (`src/nnet3/nnet-tdnn-component.cc:
-214-333`): y[t] = sum_k coef_k * x[t + offset_k] @ W_k + b.  Kaldi realizes
-the splice with strided sub-matrix views + K separate `AddMatMat` GEMMs; here
-the K shifted time-slices (static offsets => static slices) are concatenated
-on the feature axis and hit the MXU as ONE large [B*T, K*F] x [K*F, D]
-matmul, which XLA fuses with the slice/scale producers.
+214-333`): y[t] = sum_k coef_k * x[t + offset_k] @ W_k + b.  Like Kaldi's
+strided sub-matrix views + K separate `AddMatMat` GEMMs, the K shifted
+time-slices each hit the MXU as their own [B*T, F] x [F, D] matmul, summed
+on the output.  Each slice is a contiguous view of x (offset on the T axis),
+so XLA aliases it into the dot with no copy — measured ~an order of
+magnitude faster fwd+bwd than concatenating the slices into one
+[B*T, K*F] x [K*F, D] GEMM, whose concat materialization degrades the MXU
+pipeline in both directions.
 
 Valid-convolution semantics: outputs are produced only where all offsets are
 in range, so each layer shrinks time by (max_offset - min_offset) — matching
@@ -53,8 +56,8 @@ def spliced_linear(
       bias: optional [D].
       coef: optional per-offset mixing coefficients — [K] shared or [B, K]
         per-sequence (the DARTS branch weights, reference
-        `nnet-tdnn-component.cc:292-328`).  Applied to the activations before
-        the matmul so the whole thing stays one GEMM.
+        `nnet-tdnn-component.cc:292-328`).  By linearity applied to each
+        offset's GEMM output: y = sum_k coef_k * (x_k @ W_k).
       compute_dtype: MXU dtype (bf16); accumulation/output is f32.
 
     Returns: [B, T - span, D] float32.
@@ -65,18 +68,16 @@ def spliced_linear(
     span = offsets[-1] - offsets[0]
     t_out = x.shape[1] - span
     xc = x.astype(compute_dtype)
-    parts = [xc[:, (o - offsets[0]) : (o - offsets[0]) + t_out] for o in offsets]
-    if coef is not None:
-        coef = coef.astype(compute_dtype)
-        if coef.ndim == 1:
-            parts = [p * coef[i] for i, p in enumerate(parts)]
-        else:
-            parts = [p * coef[:, i][:, None, None] for i, p in enumerate(parts)]
-    spliced = jnp.concatenate(parts, axis=-1)  # [B, T_out, K*F]
-    out = jnp.matmul(
-        spliced, w.reshape(k * f, d).astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
+    wc = w.astype(compute_dtype)
+    if coef is not None and coef.ndim == 2:
+        coef = coef[:, :, None, None]  # [B, K, 1, 1]
+    out = None
+    for i, o in enumerate(offsets):
+        part = xc[:, (o - offsets[0]) : (o - offsets[0]) + t_out]
+        y = jnp.matmul(part, wc[i], preferred_element_type=jnp.float32)
+        if coef is not None:
+            y = y * (coef[i] if coef.ndim == 1 else coef[:, i])
+        out = y if out is None else out + y
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out

@@ -96,3 +96,71 @@ def test_trained_model_word_wer(word_world):
     random_res = score_corpus(refs, hyps_r)
     assert trained["wer"] < random_res["wer"], (trained, random_res)
     assert trained["wer"] < 90.0, trained
+
+
+def test_crossword_graph_equivalent_with_ci_tree(word_world):
+    """With a context-independent tree the cross-word graph is language-
+    equivalent to the within-word graph: same decoded words, same score."""
+    from tdnnf_nas_tpu.decode.wfst import build_decoding_graph_crossword
+
+    cfg, utts, lex, wlm, dg, tree, topo, _ = word_world
+    dgx = build_decoding_graph_crossword(lex, wlm, topo, tree)
+    # rows stochastic incl. final (unreachable variants have zero rows)
+    row = dgx.graph.trans.sum(1) + dgx.graph.final
+    nz = row > 1e-6
+    np.testing.assert_allclose(row[nz], 1.0, atol=1e-4)
+    for utt in utts[:3]:
+        t = len(utt.pdf_align)
+        obs = np.full((1, t, tree.num_pdfs), -10.0, np.float32)
+        obs[0, np.arange(t), utt.pdf_align] = 0.0
+        h1, s1 = decode_words(obs, dg)
+        h2, s2 = decode_words(obs, dgx)
+        assert h2[0] == h1[0] == utt.words
+        np.testing.assert_allclose(s2[0], s1[0], rtol=1e-5)
+
+
+def test_crossword_graph_uses_true_left_context():
+    """With a biphone tree, word-initial enter states carry pdfs keyed by
+    the PREDECESSOR word's final phone (not BOS)."""
+    from tdnnf_nas_tpu.graphs.topology import BiphoneTree, ChainTopology
+    from tdnnf_nas_tpu.decode.wfst import (Lexicon, WordLM,
+                                           build_decoding_graph_crossword,
+                                           decode_words)
+
+    num_phones = 4
+    tree = BiphoneTree(num_phones)
+    topo = ChainTopology(num_phones)
+    lex = Lexicon({0: (0, 1), 1: (2,), 2: (3, 0)})
+    probs = np.full((4, 3), 1.0 / 3, np.float32)
+    wlm = WordLM(probs=probs, final=np.full((4,), 1.0 / 3, np.float32),
+                 num_words=3)
+    dgx = build_decoding_graph_crossword(lex, wlm, topo, tree)
+    g = dgx.graph
+
+    # follow word 1 (final phone 2) -> word 0 (first phone 0): the enter
+    # state reached must emit forward_pdf(0, left=2)
+    want_pdf = tree.forward_pdf(0, 2)
+    bos_pdf = tree.forward_pdf(0, -1)
+    assert want_pdf != bos_pdf
+    # find word-1's final state(s) and the word-0 enter states they reach
+    src_states = [s for s in range(g.num_states)
+                  if dgx.word_of_state[s] == 1 or
+                  (g.state_pdf[s] == tree.self_loop_pdf(2) and
+                   dgx.word_of_state[s] == -1)]
+    reached_pdfs = set()
+    for s in src_states:
+        for d in np.nonzero(g.trans[s])[0]:
+            if dgx.word_of_state[d] == 0:
+                reached_pdfs.add(int(g.state_pdf[d]))
+    assert reached_pdfs == {want_pdf}
+
+    # synthesize an utterance "1 0" with the TRUE cross-word pdfs and check
+    # exact recovery
+    pdfs = [tree.forward_pdf(2, -1), tree.self_loop_pdf(2),
+            tree.forward_pdf(0, 2), tree.self_loop_pdf(0),
+            tree.forward_pdf(1, 0), tree.self_loop_pdf(1)]
+    t = len(pdfs)
+    obs = np.full((1, t, tree.num_pdfs), -10.0, np.float32)
+    obs[0, np.arange(t), pdfs] = 0.0
+    hyps, _ = decode_words(obs, dgx)
+    assert hyps[0] == [1, 0], hyps[0]
