@@ -57,11 +57,18 @@ class ConvDartsLayerConfig(Config):
 
 @dataclasses.dataclass(frozen=True)
 class ResBlockConfig(Config):
-    """Two conv layers + identity bypass (XconfigResBlock equivalent)."""
+    """Two conv layers + identity bypass.
+
+    pre_activation=False: conv->BN->ReLU ordering (`XconfigResBlock`,
+    `steps/libs/nnet3/xconfig/convolution.py:844`).
+    pre_activation=True: BN->ReLU->conv "resnet v2" ordering
+    (`XconfigRes2Block`, `convolution.py:1203`).
+    """
 
     channels: int = 64
     time_offsets: Tuple[int, ...] = (-1, 0, 1)
     height_kernel: int = 3
+    pre_activation: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +149,9 @@ def init_cnn_frontend(cfg: CnnFrontendConfig, key: jax.Array):
             }
             bn_state[name + "_1"] = {"mean": jnp.zeros((layer.channels,)),
                                      "var": jnp.ones((layer.channels,))}
+            if layer.pre_activation:
+                bn_state[name + "_0"] = {"mean": jnp.zeros((c_in,)),
+                                         "var": jnp.ones((c_in,))}
             c_out = layer.channels
         else:
             params[name] = {
@@ -236,15 +246,28 @@ def apply_cnn_frontend(
         elif isinstance(layer, ResBlockConfig):
             l_span = -min(layer.time_offsets)
             r_span = max(layer.time_offsets)
-            h1 = _conv2d(x.astype(dt), p["w1"].astype(dt)) + p["bias1"]
-            h1, new_bn[name + "_1"] = _bn4(jax.nn.relu(h1),
-                                           bn_state[name + "_1"], train)
-            h2 = _conv2d(h1.astype(dt), p["w2"].astype(dt)) + p["bias2"]
             trim = l_span + r_span
             prev = x[:, trim : x.shape[1] - trim] if trim else x
-            if prev.shape[-1] == h2.shape[-1]:
-                h2 = h2 + prev
-            x, new_bn[name] = _bn4(jax.nn.relu(h2), bn_state[name], train)
+            if layer.pre_activation:
+                # Res2Block: BN -> ReLU -> conv, twice, + bypass
+                h0, new_bn[name + "_0"] = _bn4(x, bn_state[name + "_0"], train)
+                h1 = _conv2d(jax.nn.relu(h0).astype(dt),
+                             p["w1"].astype(dt)) + p["bias1"]
+                h1, new_bn[name + "_1"] = _bn4(h1, bn_state[name + "_1"], train)
+                h2 = _conv2d(jax.nn.relu(h1).astype(dt),
+                             p["w2"].astype(dt)) + p["bias2"]
+                if prev.shape[-1] == h2.shape[-1]:
+                    h2 = h2 + prev
+                x = h2
+                new_bn[name] = bn_state[name]
+            else:
+                h1 = _conv2d(x.astype(dt), p["w1"].astype(dt)) + p["bias1"]
+                h1, new_bn[name + "_1"] = _bn4(jax.nn.relu(h1),
+                                               bn_state[name + "_1"], train)
+                h2 = _conv2d(h1.astype(dt), p["w2"].astype(dt)) + p["bias2"]
+                if prev.shape[-1] == h2.shape[-1]:
+                    h2 = h2 + prev
+                x, new_bn[name] = _bn4(jax.nn.relu(h2), bn_state[name], train)
             consumed_left += 2 * l_span
         else:
             x = _conv2d(x.astype(dt), p["w"].astype(dt),

@@ -113,3 +113,26 @@ def test_cnn_tdnnf_model_forward_and_grad():
     g = jax.grad(loss)(params)
     gn = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_res2block_pre_activation():
+    """Res2Block (pre-activation resnet, `convolution.py:1203`): BN->ReLU->
+    conv ordering, identity bypass, gradient flows."""
+    cfg = CnnFrontendConfig(
+        in_height=16,
+        layers=(
+            ConvLayerConfig(out_channels=8, time_offsets=(-1, 0, 1)),
+            ResBlockConfig(channels=8, time_offsets=(-1, 0, 1),
+                           pre_activation=True),
+        ),
+        channel_average=True,
+    )
+    params, bn = init_cnn_frontend(cfg, jax.random.PRNGKey(1))
+    assert "conv1_0" in bn  # the extra pre-activation BN slot
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 16).astype(np.float32))
+    out, new_bn, consumed = apply_cnn_frontend(cfg, params, bn, x, train=True)
+    assert out.shape == (2, 14, 8)
+    assert consumed == 3
+    g = jax.grad(lambda p: jnp.sum(
+        apply_cnn_frontend(cfg, p, bn, x, train=True)[0] ** 2))(params)
+    assert float(jnp.abs(g["conv1"]["w1"]).max()) > 0
