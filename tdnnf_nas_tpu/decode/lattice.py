@@ -483,3 +483,133 @@ def rescore_lattice_rnnlm(
         if len(out) >= n:
             break
     return out
+
+
+def determinize_lattice(lat: Lattice, max_states: int = 200000) -> Lattice:
+    """Word-level lattice determinization (tropical semiring).
+
+    Equivalent of Kaldi's `lattice-determinize` (run before LM rescoring by
+    `steps/lmrescore_const_arpa.sh`): the result contains each word
+    sequence AT MOST once, with the score of its best path; epsilon arcs
+    are removed.  Implemented as weighted subset construction over the
+    max-tropical semiring: a determinized state is a set of
+    (lattice-node, residual-score) pairs normalized so max residual = 0.
+
+    Output arcs carry the merged score in ``gs`` (``am`` zeroed — per-frame
+    alignment is intentionally collapsed, as in word-level determinization);
+    ``node_time`` is -1 (times merge).  Raises if the construction exceeds
+    ``max_states`` (can be exponential on adversarial inputs; beam-pruned
+    lattices are fine).
+    """
+    outs = lat.out_arcs()
+    end = lat.end
+
+    def closure(pairs):
+        """Follow epsilon arcs, max-accumulating scores.  pairs: {node: w}."""
+        best = dict(pairs)
+        stack = list(pairs.items())
+        while stack:
+            n, w = stack.pop()
+            if n == end:
+                continue
+            for e in outs[n]:
+                if int(lat.arc_word[e]) >= 0:
+                    continue
+                d = int(lat.arc_dst[e])
+                nw = w + float(lat.arc_am[e]) + float(lat.arc_gs[e])
+                if nw > best.get(d, -np.inf):
+                    best[d] = nw
+                    stack.append((d, nw))
+        return best
+
+    def key_of(pairs):
+        return tuple(sorted((n, round(w, 6)) for n, w in pairs.items()))
+
+    start_pairs = closure({lat.start: 0.0})
+    m0 = max(start_pairs.values())
+    start_pairs = {n: w - m0 for n, w in start_pairs.items()}
+
+    state_ids = {key_of(start_pairs): 0}
+    state_pairs = [start_pairs]
+    queue = [0]
+    # det arcs: (src, dst, word, weight); final weights per det state
+    arcs = []
+    finals = {}
+    if end in start_pairs:
+        finals[0] = m0 + start_pairs[end]
+
+    while queue:
+        s = queue.pop()
+        pairs = state_pairs[s]
+        # group outgoing word arcs by word
+        by_word = {}
+        for n, w in pairs.items():
+            if n == end:
+                continue
+            for e in outs[n]:
+                v = int(lat.arc_word[e])
+                if v < 0:
+                    continue
+                d = int(lat.arc_dst[e])
+                nw = w + float(lat.arc_am[e]) + float(lat.arc_gs[e])
+                cur = by_word.setdefault(v, {})
+                if nw > cur.get(d, -np.inf):
+                    cur[d] = nw
+        for v, dsts in sorted(by_word.items()):
+            dsts = closure(dsts)
+            m = max(dsts.values())
+            norm = {n: w - m for n, w in dsts.items()}
+            k = key_of(norm)
+            t = state_ids.get(k)
+            if t is None:
+                t = len(state_pairs)
+                if t >= max_states:
+                    raise RuntimeError("determinization exceeded max_states")
+                state_ids[k] = t
+                state_pairs.append(norm)
+                queue.append(t)
+                if end in norm:
+                    finals[t] = norm[end]
+            arcs.append((s, t, v, m))
+
+    # assemble: extra super-end node; final weights become eps arcs to it
+    n_det = len(state_pairs)
+    for s, wf in sorted(finals.items()):
+        arcs.append((s, n_det, -1, wf))
+
+    # topologically renumber (downstream consumers index arcs by src order
+    # == topo order); subset-construction ids are discovery order, not topo
+    n_all = n_det + 1
+    adj = [[] for _ in range(n_all)]
+    indeg = np.zeros(n_all, np.int64)
+    for s, t, _, _ in arcs:
+        adj[s].append(t)
+        indeg[t] += 1
+    order = []
+    stack = [i for i in range(n_all) if indeg[i] == 0]
+    while stack:
+        u = stack.pop()
+        order.append(u)
+        for t in adj[u]:
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                stack.append(t)
+    assert len(order) == n_all, "determinized lattice not acyclic"
+    remap = np.empty(n_all, np.int64)
+    # keep start first and super-end last
+    order = [u for u in order if u not in (0, n_det)]
+    remap[0] = 0
+    for i, u in enumerate(order):
+        remap[u] = i + 1
+    remap[n_det] = n_all - 1
+    arcs = sorted(((int(remap[s]), int(remap[t]), v, w)
+                   for s, t, v, w in arcs), key=lambda a: a[0])
+    return Lattice(
+        num_nodes=n_all,
+        node_time=np.full(n_all, -1, np.int32),
+        arc_src=np.asarray([a[0] for a in arcs], np.int32),
+        arc_dst=np.asarray([a[1] for a in arcs], np.int32),
+        arc_word=np.asarray([a[2] for a in arcs], np.int32),
+        arc_am=np.zeros(len(arcs), np.float32),
+        arc_gs=np.asarray([a[3] for a in arcs], np.float32),
+    )

@@ -169,3 +169,39 @@ def test_native_lattice_matches_python(world):
         np.testing.assert_array_equal(nat.arc_word, py.arc_word)
         np.testing.assert_allclose(nat.arc_am, py.arc_am, atol=1e-4)
         np.testing.assert_allclose(nat.arc_gs, py.arc_gs, atol=1e-4)
+
+
+def test_lattice_determinize(world):
+    """determinize_lattice: each word sequence at most once, best score
+    preserved, no interior epsilons, downstream ops still work."""
+    from tdnnf_nas_tpu.decode.lattice import determinize_lattice
+
+    cfg, utts, dg, obs, tree = world
+    lat = generate_lattice(obs, dg, beam=1e9, lattice_beam=20.0)
+    det = determinize_lattice(lat)
+
+    # best path identical (words and score)
+    w1, s1 = lattice_best_path(lat)
+    w2, s2 = lattice_best_path(det)
+    assert w2 == w1
+    np.testing.assert_allclose(s2, s1, rtol=1e-5)
+
+    # epsilons only into the super-end
+    eps = det.arc_word < 0
+    assert (det.arc_dst[eps] == det.end).all()
+
+    # n-best of det has unique word sequences with scores matching the
+    # deduped n-best of the original
+    nb_raw = lattice_nbest(lat, n=50)
+    best_raw = {}
+    for words, sc in nb_raw:
+        k = tuple(words)
+        if k not in best_raw or sc > best_raw[k]:
+            best_raw[k] = sc
+    nb_det = lattice_nbest(det, n=20)
+    seqs = [tuple(w) for w, _ in nb_det]
+    assert len(seqs) == len(set(seqs))  # deterministic => unique
+    for words, sc in nb_det[:10]:
+        k = tuple(words)
+        if k in best_raw:
+            np.testing.assert_allclose(sc, best_raw[k], rtol=1e-5)
