@@ -39,6 +39,38 @@ from jax.experimental.pallas import tpu as pltpu
 _TINY = 1e-30
 
 
+def _mm_split(x, m):
+    """f32 x [.., K] @ bf16 0/1 matrix m [K, N] with ~f32 exactness: hi/lo
+    bf16 two-pass (each output is a selection/sum of exactly-representable
+    terms, accumulated f32)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.matmul(hi, m, preferred_element_type=jnp.float32)
+            + jnp.matmul(lo, m, preferred_element_type=jnp.float32))
+
+
+@jax.custom_vjp
+def _onehot_expand(x, onehot):
+    """pdf->state expansion x @ onehot as MXU matmuls both ways.
+
+    A minor-axis `take` lowers to thousands of dynamic slices and its
+    transpose to a scatter into the [B,T,P] logits; this runs one big MXU
+    dot each way, with hi/lo splits keeping both directions ~f32-exact.
+    """
+    return _mm_split(x, onehot)
+
+
+def _onehot_expand_fwd(x, onehot):
+    return _mm_split(x, onehot), onehot
+
+
+def _onehot_expand_bwd(onehot, g):
+    return _mm_split(g, onehot.T), None
+
+
+_onehot_expand.defvjp(_onehot_expand_fwd, _onehot_expand_bwd)
+
+
 def _fwd_kernel(obs_ref, trans_ref, init_ref, final_ref,
                 alphas_ref, logz_ref, cs_ref,
                 alpha_scr, acc_scr, *, leaky: float, t_total: int):
@@ -206,8 +238,16 @@ def pallas_forward_score(
     obs_logprob = obs_logprob.astype(jnp.float32)
     mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
     # emission floor — see ops/fwdbwd._MIN_LOG_OBS
-    obs_log_state = jnp.take(jnp.maximum(obs_logprob - mx, -30.0), state_pdf,
-                             axis=-1)
+    obs_norm = jnp.maximum(obs_logprob - mx, -30.0)
+    # pdf -> state expansion as a one-hot MXU matmul: a minor-axis take
+    # lowers to thousands of dynamic slices (and its transpose to a
+    # scatter into the [B,T,P] logits) — the one-hot dot is one big MXU op
+    # each way.  onehot is built from the static state_pdf every step
+    # (13M-element compare, negligible) and contributes no gradient.
+    p = obs_logprob.shape[-1]
+    onehot = (state_pdf[None, :] == jnp.arange(p, dtype=state_pdf.dtype)[:, None]
+              ).astype(jnp.bfloat16)
+    obs_log_state = _onehot_expand(obs_norm, onehot)
     logz = pallas_den_score_state(obs_log_state, trans, init, final,
                                   float(leaky_coef))
     return logz + jnp.sum(mx[:, :, 0], axis=1)
