@@ -64,3 +64,23 @@ def local_shard_range(num_items: int) -> tuple:
     start = pid * per
     end = num_items if pid == pc - 1 else start + per
     return start, end
+
+
+def host_sharded_iterator(chunks, batch_size: int, mesh: Mesh, rng,
+                          epochs=None):
+    """Per-host egs feeding: each host shuffles and batches only its
+    contiguous shard of the chunk list (the multi-host replacement of
+    Kaldi's per-job egs archives, `train.py:477-549`), assembling global
+    arrays of `batch_size` total across hosts.
+
+    batch_size must divide evenly by process_count.
+    """
+    from tdnnf_nas_tpu.data import batch_iterator
+
+    pc = jax.process_count()
+    assert batch_size % pc == 0, (batch_size, pc)
+    start, end = local_shard_range(len(chunks))
+    local = chunks[start:end]
+    for batch in batch_iterator(local, batch_size // pc, rng=rng,
+                                epochs=epochs):
+        yield host_batch_to_global(batch, mesh)

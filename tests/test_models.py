@@ -188,3 +188,47 @@ def test_argmax_straight_through_mode():
     soft_g = jax.grad(lambda a: jnp.sum(
         jax.nn.softmax(a) * jnp.asarray([1.0, 2.0, 3.0])))(alpha)
     np.testing.assert_allclose(np.asarray(g), np.asarray(soft_g), atol=1e-6)
+
+
+def test_svd_reduce_bottleneck():
+    """apply-svd equivalent: rank reduction preserves the forward map up to
+    the discarded singular mass; exact when rank == existing bottleneck."""
+    from tdnnf_nas_tpu.train.transforms import svd_factor, svd_reduce_bottleneck
+
+    cfg = TINY
+    params, bn = init_model(cfg, jax.random.PRNGKey(5))
+    # random (not zero) output head so outputs are informative
+    for head in ("chain", "xent"):
+        params[f"output_{head}"]["w"] = (
+            jax.random.normal(jax.random.PRNGKey(6),
+                              params[f"output_{head}"]["w"].shape) * 0.1)
+    t_in = chunk_input_frames(cfg, 6)
+    feats = jax.random.normal(jax.random.PRNGKey(7), (2, t_in, cfg.feat_dim))
+    ref, _, _ = apply_model(cfg, params, bn, feats)
+
+    # full-rank "reduction" is exact (orthonormal basis change)
+    cfg_same, p_same = svd_reduce_bottleneck(cfg, params,
+                                             [cfg.bottleneck_dim] * cfg.num_tdnnf)
+    out_same, _, _ = apply_model(cfg_same, p_same, bn, feats)
+    np.testing.assert_allclose(np.asarray(out_same), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+    # rank-4 reduction: right shapes, param count drops, output still close
+    dims = [4] * cfg.num_tdnnf
+    cfg_r, p_r = svd_reduce_bottleneck(cfg, params, dims)
+    assert cfg_r.layer_bottleneck(0) == 4
+    assert p_r["tdnnf2"]["linear"].shape[-1] == 4
+    assert p_r["tdnnf2"]["affine"].shape[1] == 4
+    assert count_params(p_r) < count_params(params)
+    out_r, _, _ = apply_model(cfg_r, p_r, bn, feats)
+    rel = (np.linalg.norm(np.asarray(out_r) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.9, rel  # informative approximation, not garbage
+
+    # generic single-matrix factorization
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(8), (20, 12)))
+    a, b, err = svd_factor(w, 12)
+    np.testing.assert_allclose(a @ b, w, rtol=1e-4, atol=1e-5)
+    assert err < 1e-6
+    a, b, err = svd_factor(w, 4)
+    assert a.shape == (20, 4) and b.shape == (4, 12) and 0 < err < 1

@@ -79,3 +79,35 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_host_sharded_iterator_single_process():
+    """host_sharded_iterator on one process == plain batching, globally
+    sharded over the mesh."""
+    import numpy as np
+    from tdnnf_nas_tpu.parallel.multihost import (global_mesh,
+                                                  host_sharded_iterator,
+                                                  local_shard_range)
+    from tdnnf_nas_tpu.data import (SyntheticCorpusConfig,
+                                    make_synthetic_corpus, EgsConfig,
+                                    make_egs)
+    from tdnnf_nas_tpu.graphs import (estimate_phone_lm,
+                                      build_denominator_graph,
+                                      den_init_lookup)
+
+    cfg = SyntheticCorpusConfig(num_utts=24, num_phones=5, feat_dim=8)
+    utts, phone_seqs, tree, topo = make_synthetic_corpus(cfg)
+    lm = estimate_phone_lm(phone_seqs, cfg.num_phones)
+    den = build_denominator_graph(lm, topo, tree)
+    chunks = make_egs(utts, lm, topo, tree,
+                      EgsConfig(chunk_width=8, left_context=4,
+                                right_context=4, max_phones_per_chunk=12),
+                      den_init_fn=den_init_lookup(den, cfg.num_phones))
+    assert local_shard_range(len(chunks)) == (0, len(chunks))
+    mesh = global_mesh()
+    it = host_sharded_iterator(chunks, batch_size=8, mesh=mesh,
+                               rng=np.random.RandomState(0))
+    batch = next(it)
+    assert batch["feats"].shape[0] == 8
+    # globally addressable and sharded over the dp axis
+    assert len(batch["feats"].sharding.device_set) == len(mesh.devices.ravel())
