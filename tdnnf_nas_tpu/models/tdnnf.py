@@ -226,10 +226,13 @@ def _batchnorm(x, stats, train: bool):
     """Kaldi-style batchnorm: pure normalization, no learned scale/offset.
 
     Returns (normalized, new_stats).  x: [B, T, D]; stats over (B, T).
+    Statistics always accumulate in f32 (x itself may be bf16 — activations
+    stay in compute_dtype through the stack to halve HBM traffic; the
+    normalize is elementwise so output dtype == input dtype).
     """
     if train:
-        mean = jnp.mean(x, axis=(0, 1))
-        var = jnp.mean(jnp.square(x), axis=(0, 1)) - mean**2
+        mean = jnp.mean(x, axis=(0, 1), dtype=jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1)) - mean**2
         new_stats = {
             "mean": BN_DECAY * stats["mean"] + (1 - BN_DECAY) * mean,
             "var": BN_DECAY * stats["var"] + (1 - BN_DECAY) * var,
@@ -238,7 +241,7 @@ def _batchnorm(x, stats, train: bool):
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + BN_EPS)
-    return (x - mean) * inv, new_stats
+    return ((x - mean) * inv).astype(x.dtype), new_stats
 
 
 def _dropout(x, p: float, key, train: bool):
@@ -296,11 +299,12 @@ def apply_model(
         jnp.matmul(spl.astype(dt), params["lda"]["w"].astype(dt),
                    preferred_element_type=jnp.float32)
         + params["lda"]["b"]
-    )
+    ).astype(dt)
 
     # --- tdnn1 ---
-    x = jnp.matmul(x.astype(dt), params["tdnn1"]["w"].astype(dt),
-                   preferred_element_type=jnp.float32) + params["tdnn1"]["b"]
+    x = (jnp.matmul(x, params["tdnn1"]["w"].astype(dt),
+                    preferred_element_type=jnp.float32)
+         + params["tdnn1"]["b"]).astype(dt)
     x = jax.nn.relu(x)
     x, new_bn["tdnn1"] = _batchnorm(x, bn_state["tdnn1"], train)
     if post_bn_scales is not None and "tdnn1" in post_bn_scales:
@@ -346,9 +350,10 @@ def tdnnf_stack_and_heads(
         p = params[name]
         lin_off = (-l, 0) if l > 0 else (0,)
         aff_off = (0, r) if r > 0 else (0,)
-        bottleneck = spliced_linear(x, p["linear"], lin_off, compute_dtype=dt)
+        bottleneck = spliced_linear(x, p["linear"], lin_off,
+                                    compute_dtype=dt).astype(dt)
         cur = spliced_linear(bottleneck, p["affine"], aff_off, bias=p["affine_b"],
-                             compute_dtype=dt)
+                             compute_dtype=dt).astype(dt)
         act = layer_activations.get(name, jax.nn.relu) if layer_activations else jax.nn.relu
         cur = act(cur)
         cur, new_bn[name] = _batchnorm(cur, bn_state[name], train)
@@ -357,7 +362,7 @@ def tdnnf_stack_and_heads(
         cur = _dropout(cur, cfg.dropout_proportion, next(dk) if dk else None, train)
         # bypass: trim prev to cur's (shorter) time extent
         prev = x[:, l : x.shape[1] - r] if (l or r) else x
-        x = cur + cfg.bypass_scale * prev
+        x = cur + jnp.asarray(cfg.bypass_scale, cur.dtype) * prev
 
     # --- subsample to output frame rate (if not already there) ---
     if not subsampled and fs > 1:
@@ -365,19 +370,20 @@ def tdnnf_stack_and_heads(
 
     # --- prefinal-l ---
     pl = jnp.matmul(x.astype(dt), params["prefinal_l"].astype(dt),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32).astype(dt)
 
     outs = []
     for head in ("chain", "xent"):
         hp = params[f"prefinal_{head}"]
-        h = jnp.matmul(pl.astype(dt), hp["affine_w"].astype(dt),
-                       preferred_element_type=jnp.float32) + hp["affine_b"]
+        h = (jnp.matmul(pl, hp["affine_w"].astype(dt),
+                        preferred_element_type=jnp.float32)
+             + hp["affine_b"]).astype(dt)
         h = jax.nn.relu(h)
         h, new_bn[f"prefinal_{head}_big"] = _batchnorm(
             h, bn_state[f"prefinal_{head}_big"], train
         )
         h = jnp.matmul(h.astype(dt), hp["linear"].astype(dt),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).astype(dt)
         h, new_bn[f"prefinal_{head}_small"] = _batchnorm(
             h, bn_state[f"prefinal_{head}_small"], train
         )
