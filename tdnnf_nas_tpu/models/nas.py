@@ -322,31 +322,34 @@ def _scan_offset_stack(
         w_lin_o = jnp.flip(wl, axis=0)
         c_lin_o = jnp.flip(c_lin, axis=-1)
         bottleneck = spliced_linear(x, w_lin_o, lin_off, coef=c_lin_o,
-                                    compute_dtype=dt)
+                                    compute_dtype=dt).astype(dt)
         if ab is not None:
             c_bn = branch_coefs(ab, mode, tau, lk3, None, batch)
-            m = _bottleneck_mask(c_bn, groups)
+            m = _bottleneck_mask(c_bn, groups).astype(dt)
             bottleneck = bottleneck * (m[None, None, :] if m.ndim == 1
                                        else m[:, None, :])
         cur = spliced_linear(bottleneck, wa, aff_off, bias=wb, coef=c_aff,
-                             compute_dtype=dt)
+                             compute_dtype=dt).astype(dt)
         cur = jax.nn.relu(cur)
         # masked batchnorm over the valid frames of this layer's output
+        # (stats accumulate f32; activations stay in compute dtype)
         valid = (frame_idx < (t0 - (i + 1) * span))[None, :, None]
         if bn_train:
-            vm = valid.astype(cur.dtype)
+            vm = valid.astype(jnp.float32)
             cnt = jnp.maximum(cur.shape[0] * jnp.sum(vm), 1.0)
-            mean = jnp.sum(cur * vm, axis=(0, 1)) / cnt
-            var = jnp.sum(jnp.square(cur) * vm, axis=(0, 1)) / cnt - mean**2
+            cur32 = cur.astype(jnp.float32)
+            mean = jnp.sum(cur32 * vm, axis=(0, 1)) / cnt
+            var = jnp.sum(jnp.square(cur32) * vm, axis=(0, 1)) / cnt - mean**2
             new_bm = base.BN_DECAY * bm + (1 - base.BN_DECAY) * mean
             new_bv = base.BN_DECAY * bv + (1 - base.BN_DECAY) * var
         else:
             mean, var = bm, bv
             new_bm, new_bv = bm, bv
-        cur = (cur - mean) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + base.BN_EPS)
+        cur = ((cur - mean)
+               * jax.lax.rsqrt(jnp.maximum(var, 0.0) + base.BN_EPS)).astype(dt)
         cur = base._dropout(cur, b_cfg.dropout_proportion, lkd, train)
         prev = x[:, (k - 1): (k - 1) + t_out0]
-        out = cur + b_cfg.bypass_scale * prev
+        out = cur + jnp.asarray(b_cfg.bypass_scale, cur.dtype) * prev
         # zero the garbage region: otherwise it grows unboundedly across
         # layers (frozen BN doesn't tame it) and an inf there turns the
         # backward's 0-cotangent products into NaN weight/alpha gradients
@@ -428,9 +431,10 @@ def apply_supernet(
         jnp.matmul(spl.astype(dt), params["lda"]["w"].astype(dt),
                    preferred_element_type=jnp.float32)
         + params["lda"]["b"]
-    )
-    x = jnp.matmul(x.astype(dt), params["tdnn1"]["w"].astype(dt),
-                   preferred_element_type=jnp.float32) + params["tdnn1"]["b"]
+    ).astype(dt)
+    x = (jnp.matmul(x, params["tdnn1"]["w"].astype(dt),
+                    preferred_element_type=jnp.float32)
+         + params["tdnn1"]["b"]).astype(dt)
     x = jax.nn.relu(x)
     x, new_bn["tdnn1"] = base._batchnorm(x, bn_state["tdnn1"], bn_train)
     x = base._dropout(x, b.dropout_proportion, next(dk) if dk else None, train)
@@ -463,17 +467,19 @@ def apply_supernet(
             # linear offsets ascend from -(K-1) so flip the coef/weight order
             w_lin = jnp.flip(p["linear"], axis=0)
             c_lin_o = jnp.flip(c_lin, axis=-1)
-            bottleneck = spliced_linear(x, w_lin, lin_off, coef=c_lin_o, compute_dtype=dt)
+            bottleneck = spliced_linear(x, w_lin, lin_off, coef=c_lin_o,
+                                        compute_dtype=dt).astype(dt)
             coefs[f"{name}_linear"] = c_lin
         else:
             l, r = _fixed_pairs(cfg)[i]
             lin_off = (-l, 0) if l > 0 else (0,)
             aff_off = (0, r) if r > 0 else (0,)
-            bottleneck = spliced_linear(x, p["linear"], lin_off, compute_dtype=dt)
+            bottleneck = spliced_linear(x, p["linear"], lin_off,
+                                        compute_dtype=dt).astype(dt)
         if cfg.search_bottleneck:
             c_bn = branch_coefs(alphas["bottleneck"][i], mode, tau,
                                 next(keys) if keys else None, None, batch)
-            mask = _bottleneck_mask(c_bn, groups)
+            mask = _bottleneck_mask(c_bn, groups).astype(bottleneck.dtype)
             if mask.ndim == 1:
                 bottleneck = bottleneck * mask[None, None, :]
             else:
@@ -481,18 +487,18 @@ def apply_supernet(
             coefs[f"{name}_bottleneck"] = c_bn
         if cfg.search_offsets:
             cur = spliced_linear(bottleneck, p["affine"], aff_off, bias=p["affine_b"],
-                                 coef=c_aff, compute_dtype=dt)
+                                 coef=c_aff, compute_dtype=dt).astype(dt)
             coefs[f"{name}_affine"] = c_aff
         else:
             cur = spliced_linear(bottleneck, p["affine"], aff_off, bias=p["affine_b"],
-                                 compute_dtype=dt)
+                                 compute_dtype=dt).astype(dt)
         cur = jax.nn.relu(cur)
         cur, new_bn[name] = base._batchnorm(cur, bn_state[name], bn_train)
         cur = base._dropout(cur, b.dropout_proportion, next(dk) if dk else None, train)
         lspan = -lin_off[0]
         rspan = aff_off[-1]
         prev = x[:, lspan : x.shape[1] - rspan] if (lspan or rspan) else x
-        x = cur + b.bypass_scale * prev
+        x = cur + jnp.asarray(b.bypass_scale, cur.dtype) * prev
 
     return _supernet_heads(cfg, params, bn_state, new_bn, x, bn_train, coefs)
 

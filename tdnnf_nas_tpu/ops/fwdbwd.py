@@ -69,16 +69,57 @@ class DenGraphArrays:
         return cls(*children)
 
 
+def _bmm_split(x: jax.Array, m: jax.Array) -> jax.Array:
+    """Batched f32 x [B,T,K] @ 0/1 bf16 m [B,K,N] with ~f32 exactness via a
+    hi/lo bf16 two-pass (each output selects exactly-representable terms,
+    accumulated f32)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.einsum("btk,bkn->btn", hi, m,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("btk,bkn->btn", lo, m,
+                         preferred_element_type=jnp.float32))
+
+
+@jax.custom_vjp
+def _onehot_gather_batched(x, onehot):
+    """Per-sequence pdf->state expansion x [B,T,P] @ onehot [B,P,S].
+
+    A minor-axis take_along_axis lowers to per-index dynamic fetches and its
+    transpose to a sort-based scatter — measured as the largest single cost
+    of the whole train step (the numerator supervision gather).  This runs
+    one batched MXU dot each way, hi/lo-split for ~f32 exactness.
+    """
+    return _bmm_split(x, onehot)
+
+
+def _onehot_gather_batched_fwd(x, onehot):
+    return _bmm_split(x, onehot), onehot
+
+
+def _onehot_gather_batched_bwd(onehot, g):
+    return _bmm_split(g, jnp.swapaxes(onehot, 1, 2)), None
+
+
+_onehot_gather_batched.defvjp(_onehot_gather_batched_fwd,
+                              _onehot_gather_batched_bwd)
+
+
 def _gather_obs(obs_exp: jax.Array, state_pdf: jax.Array) -> jax.Array:
     """obs_exp [B,T,P] -> per-state obs [B,T,S].
 
     state_pdf is either [S] (shared graph) or [B,S] (per-utterance graphs).
+    The per-utterance case runs as a one-hot MXU matmul (see
+    _onehot_gather_batched); the shared case keeps the plain take (the hot
+    den path uses the Pallas wrapper's own one-hot expansion).
     """
     if state_pdf.ndim == 1:
         return jnp.take(obs_exp, state_pdf, axis=-1)
-    b, t, _ = obs_exp.shape
-    idx = jnp.broadcast_to(state_pdf[:, None, :], (b, t, state_pdf.shape[-1]))
-    return jnp.take_along_axis(obs_exp, idx, axis=-1)
+    p = obs_exp.shape[-1]
+    onehot = (state_pdf[:, None, :]
+              == jnp.arange(p, dtype=state_pdf.dtype)[None, :, None]
+              ).astype(jnp.bfloat16)  # [B, P, S]
+    return _onehot_gather_batched(obs_exp.astype(jnp.float32), onehot)
 
 
 def _step_matmul(alpha: jax.Array, trans: jax.Array) -> jax.Array:
