@@ -60,35 +60,45 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.build_supervision_batch.argtypes = [
-            i32p, i32p, i32p, i32p, f32p, i32p, i32p, f32p, f32p,
-            ctypes.c_float, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32,
-            f32p, i32p, f32p, f32p, f32p,
-        ]
-        lib.build_supervision_batch.restype = None
-        lib.edit_distance_batch.argtypes = [i32p, i32p, i32p, i32p,
-                                            ctypes.c_int32, i32p]
-        lib.edit_distance_batch.restype = None
-        lib.decode_nbest.argtypes = [
-            f32p, ctypes.c_int32, ctypes.c_int32,
-            i32p, i32p, f32p, i32p, f32p, f32p, i32p,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
-            ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p,
-        ]
-        lib.decode_nbest.restype = ctypes.c_int32
-        lib.generate_lattice.argtypes = [
-            f32p, ctypes.c_int32, ctypes.c_int32,
-            i32p, i32p, f32p, i32p, f32p, f32p, i32p,
-            ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_int32, ctypes.c_int32,
-            i32p, i32p, i32p, i32p, f32p, f32p, i32p,
-        ]
-        lib.generate_lattice.restype = ctypes.c_int32
+        try:
+            _bind_symbols(lib)
+        except AttributeError:
+            # stale prebuilt .so missing newer symbols (e.g. built before a
+            # source was added and g++ unavailable to rebuild): treat the
+            # whole native path as unavailable rather than half-working
+            return None
         _lib = lib
         return _lib
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.build_supervision_batch.argtypes = [
+        i32p, i32p, i32p, i32p, f32p, i32p, i32p, f32p, f32p,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        f32p, i32p, f32p, f32p, f32p,
+    ]
+    lib.build_supervision_batch.restype = None
+    lib.edit_distance_batch.argtypes = [i32p, i32p, i32p, i32p,
+                                        ctypes.c_int32, i32p]
+    lib.edit_distance_batch.restype = None
+    lib.decode_nbest.argtypes = [
+        f32p, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, f32p, i32p, f32p, f32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p,
+    ]
+    lib.decode_nbest.restype = ctypes.c_int32
+    lib.generate_lattice.argtypes = [
+        f32p, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, f32p, i32p, f32p, f32p, i32p,
+        ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f32p, f32p, i32p,
+    ]
+    lib.generate_lattice.restype = ctypes.c_int32
 
 
 def _i32p(a):
@@ -225,7 +235,12 @@ def generate_lattice_native(
     obs = np.ascontiguousarray(obs_logprob, np.float32)
     t, p = obs.shape
     wos = np.ascontiguousarray(decoding_graph.word_of_state, np.int32)
-    max_nodes, max_arcs = t * s + 2, 4 * t * int(offsets[-1]) + 2 * s + 16
+    # modest initial bounds (beam pruning keeps survivors far below T*S);
+    # the rc == -2 retry doubles them on demand, capped within int32
+    _I32_MAX = 2**31 - 16
+    max_nodes = min(t * s + 2, 64 * t + 2, _I32_MAX)
+    max_arcs = min(4 * t * int(offsets[-1]) + 2 * s + 16, 2048 * t + 16,
+                   _I32_MAX)
     while True:
         node_time = np.zeros((max_nodes,), np.int32)
         arc_src = np.zeros((max_arcs,), np.int32)
@@ -245,8 +260,10 @@ def generate_lattice_native(
         if rc == -1:
             raise ValueError("no complete path survived the beam")
         if rc == -2:
-            max_nodes *= 2
-            max_arcs *= 2
+            if max_nodes >= _I32_MAX and max_arcs >= _I32_MAX:
+                raise MemoryError("lattice exceeds int32 node/arc bounds")
+            max_nodes = min(max_nodes * 2, _I32_MAX)
+            max_arcs = min(max_arcs * 2, _I32_MAX)
             continue
         break
     n_nodes, n_arcs = int(counts[0]), int(counts[1])

@@ -357,13 +357,17 @@ def rescore_lattice(
     ctx_len = max(new_lm.order - 1, 0)
     outs = lat.out_arcs()
     order = _node_order(lat)
-    # states[node]: {history(with BOS sentinel words as ints) : (score, words)}
+    # states[node]: {(prev_word, new-LM history) : (score, words)}.  prev_word
+    # (the first-pass bigram context to remove) is tracked separately from
+    # the new-LM history — the history is truncated to order-1 words, which
+    # for low-order new LMs (unigram: ctx_len 0) would otherwise lose the
+    # old-LM context and remove the BOS bigram on every arc.
     from tdnnf_nas_tpu.lm.ngram import BOS
 
-    states: List[Dict[Tuple[int, ...], Tuple[float, Tuple[int, ...]]]] = [
+    states: List[Dict[Tuple, Tuple[float, Tuple[int, ...]]]] = [
         {} for _ in range(lat.num_nodes)
     ]
-    states[lat.start][()] = (0.0, ())
+    states[lat.start][(-1, ())] = (0.0, ())
     finals: List[Tuple[float, Tuple[int, ...]]] = []
     for node in order:
         node = int(node)
@@ -374,7 +378,7 @@ def rescore_lattice(
         best_here = items[0][1][0]
         items = [(h, sw) for h, sw in items
                  if sw[0] >= best_here - beam][:max_states_per_node]
-        for hist, (sc, words) in items:
+        for (prev, hist), (sc, words) in items:
             if node == lat.end:
                 finals.append((sc, words))
                 continue
@@ -382,13 +386,13 @@ def rescore_lattice(
                 d = int(lat.arc_dst[e])
                 wd = int(lat.arc_word[e])
                 base = float(lat.arc_am[e]) + float(lat.arc_gs[e])
-                nhist, nwords, nsc = hist, words, sc + base
-                prev = hist[-1] if hist else -1
+                nprev, nhist, nwords, nsc = prev, hist, words, sc + base
                 if wd >= 0:
                     ctx = [BOS] + [word_to_token(h) for h in hist]
                     lp_new = new_lm.log_prob_word(ctx, word_to_token(wd)) * _LN10
                     nsc += lm_scale * lp_new - _old_lm_logprob(old_lm, prev, wd)
                     nhist = (hist + (wd,))[-ctx_len:] if ctx_len else ()
+                    nprev = wd
                     nwords = words + (wd,)
                 elif d == lat.end:
                     # final arc: swap the old LM's end-of-sentence prob
@@ -397,9 +401,10 @@ def rescore_lattice(
 
                     lp_new = new_lm.log_prob_word(ctx, EOS) * _LN10
                     nsc += lm_scale * lp_new - _old_lm_final(old_lm, prev)
-                cur = states[d].get(nhist)
+                key = (nprev, nhist)
+                cur = states[d].get(key)
                 if cur is None or nsc > cur[0]:
-                    states[d][nhist] = (nsc, nwords)
+                    states[d][key] = (nsc, nwords)
     finals.sort(key=lambda x: -x[0])
     seen = set()
     out = []

@@ -128,14 +128,18 @@ def build_clustered_tree(
     for p in range(p_count):
         rare = [c for c in range(n_ctx) if stats.counts[p, c] < min_count]
         seen = [c for c in range(n_ctx) if stats.counts[p, c] >= min_count]
-        cid = len(clusters)
-        clusters.append({
-            "phone": p,
-            "n": float(stats.counts[p, rare].sum()),
-            "s": stats.sums[p, rare].sum(axis=0),
-            "ss": stats.sumsqs[p, rare].sum(axis=0),
-        })
-        cluster_of[p, rare] = cid
+        if rare or not seen:
+            # fallback cluster for rare/unseen contexts — only when some
+            # exist, so loose leaf budgets don't leave zero-count pdfs no
+            # context maps to
+            cid = len(clusters)
+            clusters.append({
+                "phone": p,
+                "n": float(stats.counts[p, rare].sum()),
+                "s": stats.sums[p, rare].sum(axis=0),
+                "ss": stats.sumsqs[p, rare].sum(axis=0),
+            })
+            cluster_of[p, rare] = cid
         for c in seen:
             cid = len(clusters)
             clusters.append({
