@@ -73,12 +73,25 @@ def make_egs(
     tree,
     cfg: EgsConfig,
     den_init_fn=None,
+    den_fsa=None,
+    stats: Optional[dict] = None,
 ) -> List[Chunk]:
     """Cut utterances (data.synthetic.Utterance-like: .feats [T_in,F],
-    .phones, .begins, .ends at output rate) into supervised chunks."""
+    .phones, .begins, .ends at output rate) into supervised chunks.
+
+    ``den_fsa`` (a graphs.den_graph.CompiledDenFsa) supplies numerator init
+    probs at arbitrary LM order / tree context (overrides den_init_fn).
+    ``stats``, if given, is filled in-place with chunk-coverage counters —
+    in particular how much supervision the max_phones_per_chunk cap drops
+    (Kaldi's get_egs.sh logs the same discard accounting).
+    """
     fs = cfg.frame_subsampling_factor
     w = cfg.chunk_width
     chunks: List[Chunk] = []
+    n_short_utts = 0
+    n_dropped_chunks = 0
+    n_kept_chunks = 0
+    dropped_frames = 0
     for utt in utts:
         t_out = len(utt.pdf_align) if utt.pdf_align is not None else (
             utt.feats.shape[0] // fs
@@ -87,7 +100,25 @@ def make_egs(
         begins = np.asarray(utt.begins)
         ends = np.asarray(utt.ends)
         if t_out < w:
+            n_short_utts += 1
+            dropped_frames += t_out
             continue  # utterance shorter than one chunk
+        # per-utterance context walk: LM state + left-phone tuple BEFORE
+        # each phone, and (on the composed-FSA path) den init probs along
+        # the TRUE utterance path — chunks cut mid-utterance keep their
+        # real context instead of resetting to BOS (Kaldi splits the
+        # full-utterance supervision FST for the same reason)
+        tctx = getattr(tree, "context_width", 1) - 1
+        ctxs, lefts = [], []
+        ctx = lm.walk_init()
+        left: tuple = ()
+        for p in utt.phones:
+            ctxs.append(ctx)
+            lefts.append(left)
+            _, ctx = lm.walk(ctx, int(p))
+            left = ((int(p),) + left)[:tctx]
+        utt_init = (den_fsa.init_lookup_seq(lm, utt.phones)
+                    if den_fsa is not None else None)
         # chunk starts: cover the utterance; last chunk snaps back to fit
         starts = list(range(0, t_out - w + 1, w))
         if starts[-1] + w < t_out:
@@ -97,17 +128,36 @@ def make_egs(
             sel = (ends >= c) & (begins < c + w)
             idx = np.nonzero(sel)[0]
             if not (cfg.min_phones_per_chunk <= len(idx) <= cfg.max_phones_per_chunk):
+                n_dropped_chunks += 1
+                dropped_frames += w
                 continue
             ph = [utt.phones[i] for i in idx]
             b = np.clip(begins[idx] - c, 0, w - 1)
             e = np.clip(ends[idx] - c, 0, w - 1)
+            i0 = int(idx[0])
+            den_init_seq = (
+                (utt_init[0][idx], utt_init[1][idx])
+                if utt_init is not None else None)
             sup = make_chunk_supervision(
                 ph, b.tolist(), e.tolist(), lm, topo, tree, w, cfg.max_states,
                 tol=cfg.tolerance, den_init_fn=den_init_fn,
+                den_init_seq=den_init_seq,
+                init_ctx=ctxs[i0], init_left=lefts[i0],
             )
             in_start = c * fs  # padded coords: original frame c*fs - left + left
             feats = padded[in_start : in_start + cfg.input_frames]
             chunks.append(Chunk(feats=feats, sup=sup))
+            n_kept_chunks += 1
+    if stats is not None:
+        kept_frames = n_kept_chunks * w
+        stats.update(
+            num_chunks=n_kept_chunks,
+            dropped_chunks=n_dropped_chunks,
+            short_utts=n_short_utts,
+            dropped_frames=dropped_frames,
+            kept_frames=kept_frames,
+            dropped_fraction=(dropped_frames / max(kept_frames + dropped_frames, 1)),
+        )
     return chunks
 
 

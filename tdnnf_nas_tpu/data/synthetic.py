@@ -30,6 +30,10 @@ class SyntheticCorpusConfig(Config):
     mean_dur: float = 4.0  # output frames per phone (geometric-ish)
     frame_subsampling_factor: int = 3
     emission_noise: float = 0.5
+    # left-context coloring: emission mean += context_shift * shift[l1]
+    # (makes context-dependent trees acoustically learnable — the analogue
+    # of real speech coarticulation that triphone trees exist to model)
+    context_shift: float = 0.0
     seed: int = 0
 
 
@@ -52,6 +56,7 @@ def make_synthetic_corpus(cfg: SyntheticCorpusConfig):
     gen_lm = rng.dirichlet(np.ones(cfg.num_phones) * 0.5, size=cfg.num_phones)
     # well-separated pdf emission means
     means = rng.randn(tree.num_pdfs, cfg.feat_dim) * 2.0
+    ctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)  # [l1+1, D]
     fs = cfg.frame_subsampling_factor
 
     utts: List[Utterance] = []
@@ -60,22 +65,29 @@ def make_synthetic_corpus(cfg: SyntheticCorpusConfig):
         phones = [rng.randint(cfg.num_phones)]
         for _ in range(n - 1):
             phones.append(rng.choice(cfg.num_phones, p=gen_lm[phones[-1]]))
-        begins, ends, pdfs = [], [], []
+        begins, ends, pdfs, lctx = [], [], [], []
         t = 0
+        prev = -1
         for p in phones:
             dur = 1 + rng.geometric(1.0 / cfg.mean_dur)
             begins.append(t)
             ends.append(t + dur - 1)
             pdfs.append(tree.forward_pdf(p))
             pdfs.extend([tree.self_loop_pdf(p)] * (dur - 1))
+            lctx.extend([prev] * dur)
             t += dur
+            prev = p
         pdf_align = np.asarray(pdfs, np.int32)
         t_out = len(pdf_align)
         feats = (
             means[np.repeat(pdf_align, fs)]
             + rng.randn(t_out * fs, cfg.feat_dim) * cfg.emission_noise
-        ).astype(np.float32)
-        utts.append(Utterance(feats, phones, begins, ends, pdf_align))
+        )
+        if cfg.context_shift > 0.0:
+            feats = feats + cfg.context_shift * ctx_shift[
+                np.repeat(np.asarray(lctx) + 1, fs)]
+        utts.append(Utterance(feats.astype(np.float32), phones, begins, ends,
+                              pdf_align))
     phone_seqs = [u.phones for u in utts]
     return utts, phone_seqs, tree, topo
 

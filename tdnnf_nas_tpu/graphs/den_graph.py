@@ -19,10 +19,13 @@ enter(p_from_left_l), giving S = P*(P+1) + P states.
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Dict, List, Tuple
+
 import numpy as np
 
 from tdnnf_nas_tpu.graphs.fsa import StateGraph, stationary_init
-from tdnnf_nas_tpu.graphs.phone_lm import PhoneLM
+from tdnnf_nas_tpu.graphs.phone_lm import BOS, NGramPhoneLM, PhoneLM
 from tdnnf_nas_tpu.graphs.topology import BiphoneTree, ChainTopology
 
 
@@ -69,15 +72,299 @@ def build_denominator_graph(lm: PhoneLM, topo: ChainTopology, tree) -> StateGrap
         final=np.ones((s,), dtype=np.float32),
         num_pdfs=tree.num_pdfs,
     ).normalize()
+    start = np.zeros((s,), np.float64)
+    start[:p_count] = lm.probs[0].astype(np.float64)  # BOS row -> enter states
     g = StateGraph(
         trans=g.trans,
         state_pdf=g.state_pdf,
-        init=stationary_init(g.trans),
+        init=stationary_init(g.trans, start=start, average=True),
         final=g.final,
         num_pdfs=g.num_pdfs,
     )
     g.validate()
     return g
+
+
+@dataclasses.dataclass
+class CompiledDenFsa:
+    """Host-side composed denominator FSA (LM x topology x tree).
+
+    Equivalent of the graph written by ``chain-make-den-fst`` (upstream
+    `src/chain/chain-den-graph.cc`, invoked at `steps/nnet3/chain/train.py:338`)
+    including its minimization: states are split only by emitted pdf and
+    grouped into *positions* with shared out-behavior (see
+    `ops/fwdbwd.FactoredDenGraph`).  Exported either dense (small graphs) or
+    factored-sparse (triphone/4-gram scale).
+    """
+
+    num_positions: int
+    num_states: int
+    num_pdfs: int
+    seg_bounds: np.ndarray  # [Npos+1] int32
+    state_pdf: np.ndarray  # [S] int32
+    # factored arcs: dest state <- source POSITION with probability w
+    arc_dst: np.ndarray  # [A] int32 (state id)
+    arc_src_pos: np.ndarray  # [A] int32 (position id)
+    arc_w: np.ndarray  # [A] float32
+    init: np.ndarray  # [S] float32 (stationary)
+    final: np.ndarray  # [S] float32
+    # numerator-lookup tables (keys produced by walking the LM FSA)
+    enter_state: Dict[Tuple[int, int], int]  # (pos_id, pdf) -> state id
+    loop_state: Dict[int, int]  # pos_id -> state id
+    start_pos: int  # position id at BOS
+    pos_trans: Dict[Tuple[int, int], Tuple[int, int]]  # (pos, phone) -> (dest pos, pdf)
+
+    def to_state_graph(self) -> StateGraph:
+        """Dense [S,S] export (tests / small graphs)."""
+        s = self.num_states
+        trans = np.zeros((s, s), np.float64)
+        pos_of_state = np.zeros((s,), np.int64)
+        for p in range(self.num_positions):
+            pos_of_state[self.seg_bounds[p]: self.seg_bounds[p + 1]] = p
+        for dst, sp, w in zip(self.arc_dst, self.arc_src_pos, self.arc_w):
+            lo, hi = self.seg_bounds[sp], self.seg_bounds[sp + 1]
+            trans[lo:hi, dst] += w
+        g = StateGraph(
+            trans=trans.astype(np.float32),
+            state_pdf=self.state_pdf,
+            init=self.init,
+            final=self.final,
+            num_pdfs=self.num_pdfs,
+        )
+        g.validate(stochastic=False)
+        return g
+
+    def to_factored(self):
+        """Device FactoredDenGraph (padded in-arc form)."""
+        from tdnnf_nas_tpu.ops.fwdbwd import FactoredDenGraph
+        import jax.numpy as jnp
+
+        s = self.num_states
+        order = np.argsort(self.arc_dst, kind="stable")
+        dst = self.arc_dst[order]
+        srcp = self.arc_src_pos[order]
+        w = self.arc_w[order]
+        counts = np.bincount(dst, minlength=s)
+        k = max(1, int(counts.max()))
+        in_pos = np.zeros((s, k), np.int32)
+        in_w = np.zeros((s, k), np.float32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for j in range(s):
+            lo, hi = starts[j], starts[j + 1]
+            in_pos[j, : hi - lo] = srcp[lo:hi]
+            in_w[j, : hi - lo] = w[lo:hi]
+        return FactoredDenGraph(
+            seg_bounds=jnp.asarray(self.seg_bounds),
+            in_pos=jnp.asarray(in_pos),
+            in_w=jnp.asarray(in_w),
+            state_pdf=jnp.asarray(self.state_pdf),
+            init=jnp.asarray(self.init),
+            final=jnp.asarray(self.final),
+        )
+
+    def init_lookup_seq(self, lm, phones) -> Tuple[np.ndarray, np.ndarray]:
+        """(enter_init[i], loop_init[i]) den initial probs for the linear
+        numerator chain of ``phones`` walked from BOS — the normalization-FST
+        weights (upstream chain-supervision.cc) at arbitrary context order."""
+        n = len(phones)
+        e = np.zeros((n,), np.float32)
+        l = np.zeros((n,), np.float32)
+        pos = self.start_pos
+        for i, q in enumerate(phones):
+            pos, pdf = self.pos_trans[(pos, int(q))]
+            e[i] = self.init[self.enter_state[(pos, pdf)]]
+            l[i] = self.init[self.loop_state[pos]]
+        return e, l
+
+
+def _lm_tables(lm) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[tuple], int]:
+    """(probs [NS,P], final [NS], next_state [NS,P], hist_of_state,
+    bos_state) for either LM class (bigram PhoneLM is the 2-gram FSA)."""
+    if isinstance(lm, NGramPhoneLM):
+        return (np.asarray(lm.probs, np.float64),
+                np.asarray(lm.final, np.float64),
+                np.asarray(lm.next_state, np.int64),
+                [tuple(h) for h in lm.hists],
+                lm.walk_init())
+    p = lm.num_phones
+    probs = np.asarray(lm.probs, np.float64)  # [P+1, P], row 0 = BOS
+    final = np.asarray(lm.final, np.float64)
+    nxt = np.tile(np.arange(1, p + 1, dtype=np.int64)[None, :], (p + 1, 1))
+    hists = [(q,) for q in range(-1, p)]
+    return probs, final, nxt, hists, 0
+
+
+def compile_denominator_fsa(lm, topo: ChainTopology, tree) -> CompiledDenFsa:
+    """Compose phone LM x chain topology x context tree into the factored
+    state-emitting den FSA.
+
+    Positions are (LM state, extra left context) pairs — ``extra`` carries
+    just enough phones beyond the LM history for the tree's left context
+    (``tree.context_width - 1``).  Each position owns one state per distinct
+    forward pdf it is entered with, plus one self-loop state.  BOS-context
+    positions exist (the numerator walk needs their keys) but get zero
+    stationary mass, matching the round-1 dense layout's unreachable BOS
+    rows.
+    """
+    p_count = lm.num_phones
+    if topo.num_phones != p_count:
+        raise ValueError("phone count mismatch between LM and topology")
+    a = float(topo.self_loop_prob)
+    tctx = tree.context_width - 1
+    probs, lm_final, nxt, hists, bos = _lm_tables(lm)
+
+    def mk_start():
+        h = hists[bos]
+        need = max(0, tctx - len(h))
+        return (bos, (BOS,) * need)
+
+    pos_key: Dict[tuple, int] = {}
+    pos_list: List[tuple] = []
+
+    def pos_id(key) -> int:
+        i = pos_key.get(key)
+        if i is None:
+            i = pos_key[key] = len(pos_list)
+            pos_list.append(key)
+        return i
+
+    start = mk_start()
+    start_id = pos_id(start)
+    # discovery: per-position out-arcs (dest_pos, pdf, weight) and the set
+    # of enter pdfs per position
+    out_arcs: List[List[Tuple[int, int, float]]] = []
+    enter_pdfs: List[List[int]] = []
+    pos_norm: Dict[int, float] = {}
+    queue = [start_id]
+    head = 0
+    while head < len(queue):
+        src = queue[head]
+        head += 1
+        while len(out_arcs) < len(pos_list):
+            out_arcs.append(None)
+            enter_pdfs.append([])
+        s, extra = pos_list[src]
+        h = hists[s]
+        fc = tuple(extra) + tuple(h)  # most-recent-last
+        left = tuple(reversed(fc))[:tctx]  # most-recent-first for the tree
+        # row-normalize like the dense builder: the LM's end-of-sequence
+        # mass is redistributed so every den row is stochastic (chunks are
+        # cut mid-utterance; all states are final with weight 1)
+        norm = a + (1.0 - a) * (1.0 - float(lm_final[s]))
+        pos_norm[src] = norm
+        arcs = []
+        for q in range(p_count):
+            w = float(probs[s, q]) / norm
+            s2 = int(nxt[s, q])
+            h2 = hists[s2]
+            full = fc + (q,)
+            need = max(0, tctx - len(h2))
+            cut = len(full) - len(h2)
+            e2 = full[cut - need: cut]
+            key2 = (s2, e2)
+            new = key2 not in pos_key
+            d = pos_id(key2)
+            if new:
+                queue.append(d)
+            pdf = int(tree.forward_pdf_ctx(q, left))
+            while len(enter_pdfs) < len(pos_list):
+                out_arcs.append(None)
+                enter_pdfs.append([])
+            if pdf not in enter_pdfs[d]:
+                enter_pdfs[d].append(pdf)
+            arcs.append((d, pdf, (1.0 - a) * w))
+        out_arcs[src] = arcs
+
+    npos = len(pos_list)
+    # state layout: per position, its enter splits (sorted) then its loop
+    # state; BOS-phone positions own no states (empty segment)
+    seg_bounds = np.zeros((npos + 1,), np.int32)
+    enter_state: Dict[Tuple[int, int], int] = {}
+    loop_state: Dict[int, int] = {}
+    state_pdf: List[int] = []
+    sid = 0
+    for pid in range(npos):
+        seg_bounds[pid] = sid
+        s, _ = pos_list[pid]
+        phone = hists[s][-1]
+        for pdf in sorted(enter_pdfs[pid]):
+            enter_state[(pid, pdf)] = sid
+            state_pdf.append(pdf)
+            sid += 1
+        if phone != BOS:
+            loop_state[pid] = sid
+            state_pdf.append(int(tree.self_loop_pdf(phone)))
+            sid += 1
+    seg_bounds[npos] = sid
+    num_states = sid
+
+    # factored arcs (dest state <- source position)
+    arc_dst: List[int] = []
+    arc_src_pos: List[int] = []
+    arc_w: List[float] = []
+    for pid in range(npos):
+        lp = loop_state.get(pid)
+        if lp is not None:
+            arc_dst.append(lp)
+            arc_src_pos.append(pid)
+            arc_w.append(a / pos_norm[pid])
+        for d, pdf, w in out_arcs[pid]:
+            arc_dst.append(enter_state[(d, pdf)])
+            arc_src_pos.append(pid)
+            arc_w.append(w)
+    arc_dst = np.asarray(arc_dst, np.int32)
+    arc_src_pos = np.asarray(arc_src_pos, np.int32)
+    arc_w = np.asarray(arc_w, np.float32)
+
+    # init by factored power iteration from the BOS state, AVERAGED over
+    # iterations (Kaldi chain-den-graph.cc SetInitialProbs semantics, see
+    # fsa.stationary_init): utterance-early states keep ~1/iters mass so
+    # numerator chunks cut at utterance starts have nonzero initial weight
+    w64 = arc_w.astype(np.float64)
+    alpha = np.zeros((num_states,), np.float64)
+    for d, pdf, w in out_arcs[start_id]:  # one LM step from BOS
+        alpha[enter_state[(d, pdf)]] += w
+    alpha /= max(alpha.sum(), 1e-30)
+    acc = alpha.copy()
+    for _ in range(100):
+        beta = np.add.reduceat(
+            np.concatenate([alpha, [0.0]]),
+            np.minimum(seg_bounds[:-1], num_states).astype(np.int64),
+        )
+        # reduceat quirk: empty segments (start == next start) return the
+        # element at start instead of 0 — fix by masking
+        empty = seg_bounds[:-1] == seg_bounds[1:]
+        beta = np.where(empty, 0.0, beta[: npos])
+        nxt_alpha = np.zeros((num_states,), np.float64)
+        np.add.at(nxt_alpha, arc_dst, beta[arc_src_pos] * w64)
+        tot = nxt_alpha.sum()
+        if tot <= 0:
+            raise ValueError("denominator FSA has no probability mass")
+        alpha = nxt_alpha / tot
+        acc += alpha
+    init = (acc / acc.sum()).astype(np.float32)
+
+    pos_trans = {}
+    for pid in range(npos):
+        for q, (d, pdf, _) in enumerate(out_arcs[pid]):
+            pos_trans[(pid, q)] = (d, pdf)
+
+    return CompiledDenFsa(
+        num_positions=npos,
+        num_states=num_states,
+        num_pdfs=tree.num_pdfs,
+        seg_bounds=seg_bounds,
+        state_pdf=np.asarray(state_pdf, np.int32),
+        arc_dst=arc_dst,
+        arc_src_pos=arc_src_pos,
+        arc_w=arc_w,
+        init=init,
+        final=np.ones((num_states,), np.float32),
+        enter_state=enter_state,
+        loop_state=loop_state,
+        start_pos=start_id,
+        pos_trans=pos_trans,
+    )
 
 
 def _build_biphone(lm: PhoneLM, topo: ChainTopology, tree: BiphoneTree) -> StateGraph:
@@ -111,10 +398,13 @@ def _build_biphone(lm: PhoneLM, topo: ChainTopology, tree: BiphoneTree) -> State
         final=np.ones((s,), dtype=np.float32),
         num_pdfs=tree.num_pdfs,
     ).normalize()
+    start = np.zeros((s,), np.float64)
+    for q in range(p_count):
+        start[enter_idx(-1, q)] = lmp[0, q]  # BOS row
     g = StateGraph(
         trans=g.trans,
         state_pdf=g.state_pdf,
-        init=stationary_init(g.trans),
+        init=stationary_init(g.trans, start=start, average=True),
         final=g.final,
         num_pdfs=g.num_pdfs,
     )

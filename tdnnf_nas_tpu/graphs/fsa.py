@@ -75,21 +75,34 @@ class StateGraph:
         )
 
 
-def stationary_init(trans: np.ndarray, iters: int = 100) -> np.ndarray:
-    """Approximate stationary distribution by power iteration.
+def stationary_init(
+    trans: np.ndarray,
+    iters: int = 100,
+    start: np.ndarray | None = None,
+    average: bool = False,
+) -> np.ndarray:
+    """Denominator-graph initial probs by power iteration.
 
-    Mirrors the reference pipeline's denominator-graph initial probs (Kaldi
-    `chain-den-graph.cc` SetInitialProbs: ~100 iterations of the transition
-    matrix from uniform), used both as alpha(0) and as the leaky-HMM
-    destination distribution.
+    Mirrors Kaldi `chain-den-graph.cc` SetInitialProbs: iterate the
+    transition matrix ~100 times and (with ``average=True``, the Kaldi
+    semantics) AVERAGE the per-iteration occupancies starting from the
+    graph's true initial distribution — so utterance-early (BOS-context)
+    states keep ~1/iters mass and numerator chunks cut at utterance starts
+    have nonzero initial weight.  ``start=None`` falls back to uniform.
+    Used both as alpha(0) and as the leaky-HMM destination distribution.
     """
     s = trans.shape[0]
-    p = np.full((s,), 1.0 / s, dtype=np.float64)
+    p = (np.full((s,), 1.0 / s, dtype=np.float64) if start is None
+         else np.asarray(start, np.float64) / max(np.asarray(start).sum(), 1e-30))
     t = trans.astype(np.float64)
+    acc = p.copy() if average else None
     for _ in range(iters):
         p = p @ t
         tot = p.sum()
         if tot <= 0:
             raise ValueError("transition matrix has no probability mass")
         p /= tot
-    return p.astype(np.float32)
+        if average:
+            acc += p
+    out = acc / acc.sum() if average else p
+    return out.astype(np.float32)

@@ -73,11 +73,19 @@ def numerator_graph(
     topo: ChainTopology,
     tree,
     max_states: int,
+    init_ctx=None,
+    init_left: tuple = (),
 ):
     """Linear chain graph over `phones`, padded to max_states (=2*max_phones).
 
     Returns (trans, state_pdf, init, final) with states laid out
     [enter_1, loop_1, enter_2, loop_2, ...].
+
+    ``init_ctx``/``init_left``: LM walk state and most-recent-first left
+    phone tuple BEFORE phones[0] — for chunks cut mid-utterance the egs
+    builder passes the true utterance context (Kaldi gets the same effect
+    by splitting the full-utterance supervision FST), so arc weights and
+    pdfs match the denominator's along the true path exactly.
     """
     n = len(phones)
     s = 2 * n
@@ -89,19 +97,29 @@ def numerator_graph(
     init = np.zeros((max_states,), dtype=np.float32)
     final = np.zeros((max_states,), dtype=np.float32)
     next_w = np.zeros((max_states // 2,), dtype=np.float32)
-    prev = -1
+    # LM context walks the same FSA as the denominator compiler (uniform
+    # walk interface: bigram PhoneLM or pruned NGramPhoneLM), and the tree
+    # left context is the running most-recent-first phone tuple — so
+    # numerator arc weights/pdfs exactly match denominator arcs at any LM
+    # order / tree context width.
+    ctx = lm.walk_init() if init_ctx is None else init_ctx
+    left: tuple = tuple(init_left)
+    tctx = getattr(tree, "context_width", 1) - 1
     for i, p in enumerate(phones):
         e, l = 2 * i, 2 * i + 1
-        state_pdf[e] = tree.forward_pdf(p, prev)
+        _, ctx_after = lm.walk(ctx, p)
+        state_pdf[e] = tree.forward_pdf_ctx(p, left)
         state_pdf[l] = tree.self_loop_pdf(p)
         for src in (e, l):
             trans[src, l] = a
             if i + 1 < n:
                 q = phones[i + 1]
-                w = (1.0 - a) * float(lm.probs[p + 1, q])
+                wq, _ = lm.walk(ctx_after, q)
+                w = (1.0 - a) * wq
                 trans[src, 2 * (i + 1)] = w
                 next_w[i] = w
-        prev = p
+        ctx = ctx_after
+        left = ((p,) + left)[:tctx]
     final[: s] = 1.0
     init[0] = 1.0
     return trans, state_pdf, init, final, next_w
@@ -145,6 +163,9 @@ def make_chunk_supervision(
     max_states: int,
     tol: int = 2,
     den_init_fn=None,
+    den_init_seq=None,
+    init_ctx=None,
+    init_left: tuple = (),
 ) -> ChunkSupervision:
     """Build the full numerator supervision for one chunk.
 
@@ -160,7 +181,9 @@ def make_chunk_supervision(
     init is uniform over allowed start states (objective may exceed 0 by a
     bounded constant).
     """
-    trans, state_pdf, init, final, next_w = numerator_graph(phones, lm, topo, tree, max_states)
+    trans, state_pdf, init, final, next_w = numerator_graph(
+        phones, lm, topo, tree, max_states,
+        init_ctx=init_ctx, init_left=init_left)
     n = len(phones)
     if begins is None:
         mask = np.zeros((num_frames, max_states), dtype=np.float32)
@@ -174,9 +197,19 @@ def make_chunk_supervision(
         allowed0 = mask[0] > 0
         if not allowed0.any():
             raise ValueError("tolerance mask leaves no allowed state at frame 0")
-    if den_init_fn is not None:
+    if den_init_seq is not None:
+        # (enter_init[i], loop_init[i]) arrays from the composed den FSA
+        # (CompiledDenFsa.init_lookup_seq) — arbitrary LM order/tree context
+        ent, loop = den_init_seq
         init = np.zeros((max_states,), dtype=np.float32)
-        prev = -1
+        for i in range(n):
+            if allowed0[2 * i]:
+                init[2 * i] = ent[i]
+            if allowed0[2 * i + 1]:
+                init[2 * i + 1] = loop[i]
+    elif den_init_fn is not None:
+        init = np.zeros((max_states,), dtype=np.float32)
+        prev = init_left[0] if len(init_left) else -1
         for i, p in enumerate(phones):
             if allowed0[2 * i]:
                 init[2 * i] = den_init_fn(p, 0, prev)

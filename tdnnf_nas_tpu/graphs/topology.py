@@ -48,6 +48,11 @@ class ContextIndependentTree:
     def forward_pdf(self, phone: int, left_phone: int = -1) -> int:
         return self.pdf(phone, FORWARD)
 
+    def forward_pdf_ctx(self, phone: int, left=()) -> int:
+        """Uniform context interface: ``left`` is the left-phone tuple,
+        most-recent first (``left[0]`` = immediately preceding phone)."""
+        return self.forward_pdf(phone)
+
     def self_loop_pdf(self, phone: int) -> int:
         return self.pdf(phone, SELF_LOOP)
 
@@ -82,6 +87,55 @@ class BiphoneTree:
     def forward_pdf(self, phone: int, left_phone: int = -1) -> int:
         idx = phone * (self.num_phones + 1) + (left_phone + 1)
         return int(self._fwd_table[idx])
+
+    def forward_pdf_ctx(self, phone: int, left=()) -> int:
+        return self.forward_pdf(phone, left[0] if len(left) else -1)
+
+    def self_loop_pdf(self, phone: int) -> int:
+        return self._n_fwd + phone
+
+    def pdf(self, phone: int, pdf_class: int, left_phone: int = -1) -> int:
+        if pdf_class == FORWARD:
+            return self.forward_pdf(phone, left_phone)
+        return self.self_loop_pdf(phone)
+
+
+class TriphoneTree:
+    """Two-left-phone context tree ("triphone" window [l2, l1, p]).
+
+    The reference tree `tri5_7d` (6034 leaves,
+    `run_tdnn_7q_fbk_40_manual.sh:26`) is a center-phone triphone tree with
+    one left and one right phone of context.  Right-context dependence
+    requires arc-lookahead composition (Kaldi's C transducer delays symbols)
+    which buys nothing on TPU and complicates every graph; a two-LEFT-phone
+    window gives the same context granularity and leaf-count scale while
+    keeping every graph (den, numerator, decode) strictly causal — the same
+    trade Kaldi's own e2e chain recipes make with left-biphone trees.
+
+    ``forward_pdf_ctx(p, (l1, l2))`` looks up a flat [P, P+1, P+1] table
+    (BOS = -1 in either slot); self-loop pdfs stay per-phone (pdf-class 1
+    tied across contexts).  Built by likelihood clustering in
+    `graphs/tree_cluster.py:build_clustered_triphone_tree`.
+    """
+
+    def __init__(self, num_phones: int, fwd_table, n_fwd: int):
+        import numpy as _np
+
+        self.num_phones = num_phones
+        self.context_width = 3
+        self._fwd_table = _np.asarray(fwd_table, _np.int64).reshape(
+            num_phones, num_phones + 1, num_phones + 1)
+        self._n_fwd = int(n_fwd)
+        self.num_pdfs = self._n_fwd + num_phones
+
+    def forward_pdf(self, phone: int, left_phone: int = -1,
+                    left2_phone: int = -1) -> int:
+        return int(self._fwd_table[phone, left_phone + 1, left2_phone + 1])
+
+    def forward_pdf_ctx(self, phone: int, left=()) -> int:
+        l1 = left[0] if len(left) >= 1 else -1
+        l2 = left[1] if len(left) >= 2 else -1
+        return self.forward_pdf(phone, l1, l2)
 
     def self_loop_pdf(self, phone: int) -> int:
         return self._n_fwd + phone

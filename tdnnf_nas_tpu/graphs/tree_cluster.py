@@ -118,8 +118,30 @@ def build_clustered_tree(
     into their phone's garbage cluster up front (Kaldi ties unseen/rare
     contexts the same way).
     """
-    p_count = stats.num_phones
-    n_ctx = p_count + 1
+    fwd_table, n_fwd = _cluster_contexts(
+        stats.counts, stats.sums, stats.sumsqs, num_leaves, min_count)
+    return ClusteredBiphoneTree(stats.num_phones, fwd_table, n_fwd)
+
+
+def _cluster_contexts(
+    counts: np.ndarray,  # [P, C]
+    sums: np.ndarray,  # [P, C, D]
+    sumsqs: np.ndarray,  # [P, C, D]
+    num_leaves: int,
+    min_count: float = 1.0,
+):
+    """Within-phone agglomerative likelihood clustering over generic context
+    cells; returns (table [P*C] -> leaf id, n_leaves).  Shared by the
+    biphone and triphone ("left-2") tree builders."""
+    p_count, n_ctx = counts.shape
+    stats = TreeStats(counts, sums, sumsqs)
+    # exact agglomerative clustering is O(n^2) pairs per phone; triphone
+    # grids have (P+1)^2 contexts, so pre-merge each phone's long tail of
+    # low-count contexts into the nearest high-count seed (by mean
+    # distance) before the exact phase — rare contexts carry little
+    # likelihood, the merge loss is negligible (Kaldi bounds the same cost
+    # with its question sets)
+    max_initial = max(192, (3 * num_leaves) // max(p_count, 1))
     # start: one cluster per seen context, one fallback cluster per phone
     # for rare/unseen contexts
     cluster_of = np.full((p_count, n_ctx), -1, np.int64)
@@ -140,6 +162,35 @@ def build_clustered_tree(
                 "ss": stats.sumsqs[p, rare].sum(axis=0),
             })
             cluster_of[p, rare] = cid
+        if len(seen) > max_initial:
+            seen_arr = np.asarray(seen)
+            order = np.argsort(-stats.counts[p, seen_arr], kind="stable")
+            seeds = seen_arr[order[:max_initial]]
+            tail = seen_arr[order[max_initial:]]
+            seed_means = stats.sums[p, seeds] / stats.counts[p, seeds][:, None]
+            tail_means = stats.sums[p, tail] / stats.counts[p, tail][:, None]
+            # nearest seed by squared Euclidean mean distance (vectorized)
+            d2 = (np.sum(tail_means ** 2, -1)[:, None]
+                  - 2.0 * tail_means @ seed_means.T
+                  + np.sum(seed_means ** 2, -1)[None, :])
+            owner = np.argmin(d2, axis=1)
+            base = len(clusters)
+            for k, c in enumerate(seeds):
+                clusters.append({
+                    "phone": p,
+                    "n": float(stats.counts[p, c]),
+                    "s": stats.sums[p, c].copy(),
+                    "ss": stats.sumsqs[p, c].copy(),
+                })
+                cluster_of[p, c] = base + k
+            for j, c in enumerate(tail):
+                cid = base + int(owner[j])
+                cl = clusters[cid]
+                cl["n"] += float(stats.counts[p, c])
+                cl["s"] = cl["s"] + stats.sums[p, c]
+                cl["ss"] = cl["ss"] + stats.sumsqs[p, c]
+                cluster_of[p, c] = cid
+            continue
         for c in seen:
             cid = len(clusters)
             clusters.append({
@@ -206,7 +257,69 @@ def build_clustered_tree(
     for p in range(p_count):
         for c in range(n_ctx):
             fwd_table[p * n_ctx + c] = remap[int(cluster_of[p, c])]
-    return ClusteredBiphoneTree(p_count, fwd_table, n_fwd)
+    return fwd_table, n_fwd
+
+
+@dataclasses.dataclass
+class TriphoneStats:
+    """Diagonal-Gaussian sufficient stats per (phone, l1, l2) forward state
+    — the two most recent left phones (index 0 == BOS/-1):
+    counts [P, P+1, P+1], sums [..., D], sumsqs [..., D]."""
+
+    counts: np.ndarray
+    sums: np.ndarray
+    sumsqs: np.ndarray
+
+    @property
+    def num_phones(self) -> int:
+        return self.counts.shape[0]
+
+
+def accumulate_triphone_stats(
+    feats: Sequence[np.ndarray],
+    phone_seqs: Sequence[Sequence[int]],
+    begins: Sequence[Sequence[int]],
+    num_phones: int,
+    frame_subsampling_factor: int = 1,
+) -> TriphoneStats:
+    """Per-(p, l1, l2) forward-frame Gaussian stats (left-2 context window,
+    see `topology.TriphoneTree` for why two LEFT phones replace the
+    reference's left+right triphone window)."""
+    d = feats[0].shape[-1]
+    counts = np.zeros((num_phones, num_phones + 1, num_phones + 1), np.float64)
+    sums = np.zeros((num_phones, num_phones + 1, num_phones + 1, d), np.float64)
+    sumsqs = np.zeros_like(sums)
+    for x, phones, bg in zip(feats, phone_seqs, begins):
+        x = np.asarray(x, np.float64)
+        l1, l2 = -1, -1
+        for j, p in enumerate(phones):
+            t = min(int(bg[j]) * frame_subsampling_factor, len(x) - 1)
+            f = x[t]
+            counts[p, l1 + 1, l2 + 1] += 1.0
+            sums[p, l1 + 1, l2 + 1] += f
+            sumsqs[p, l1 + 1, l2 + 1] += f * f
+            l2, l1 = l1, p
+    return TriphoneStats(counts, sums, sumsqs)
+
+
+def build_clustered_triphone_tree(
+    stats: TriphoneStats,
+    num_leaves: int,
+    min_count: float = 1.0,
+):
+    """Likelihood-clustered left-2-context tree — the `build_tree.sh` /
+    tri5_7d equivalent at triphone leaf scale (the reference tree has 6034
+    leaves, `run_tdnn_7q_fbk_40_manual.sh:26`)."""
+    from tdnnf_nas_tpu.graphs.topology import TriphoneTree
+
+    p, c1, c2 = stats.counts.shape
+    d = stats.sums.shape[-1]
+    table, n_fwd = _cluster_contexts(
+        stats.counts.reshape(p, c1 * c2),
+        stats.sums.reshape(p, c1 * c2, d),
+        stats.sumsqs.reshape(p, c1 * c2, d),
+        num_leaves, min_count)
+    return TriphoneTree(p, table, n_fwd)
 
 
 def build_tree_from_corpus(

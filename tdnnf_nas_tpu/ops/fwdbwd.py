@@ -432,3 +432,95 @@ def forward_score_sparse(
         obs_logprob, g.in_src, g.in_w, g.state_pdf, g.init, g.final,
         float(leaky_coef),
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FactoredDenGraph:
+    """Position-factored denominator graph for triphone/4-gram-scale spaces.
+
+    The composed den graph (n-gram phone LM x chain topology x context tree,
+    `graphs/den_graph.py:compile_denominator_fsa`) has a special structure:
+    every state belongs to a *position* (LM state x carried phone context)
+    and **all states of a position share identical out-arcs** (the emitted
+    pdf is the only thing that splits them).  So the forward recursion
+    factors:
+
+        beta[pos]    = sum of alpha over the position's states
+        alpha'[s]    = (sum_k beta[in_pos[s,k]] * in_w[s,k]) * obs[s]
+
+    States are laid out contiguously per position (``seg_bounds``), so the
+    aggregation is two gathers into an exclusive cumsum — O(S) — and the
+    transition is a K-wide gather with K ~ #positions that can precede a
+    state (~P+1), instead of the raw in-degree (~P x #splits).  Total work
+    per frame is O(S*(K+1)) on the VPU; at S~30k, K~50 that is ~100x less
+    than the dense [S,S] matmul and ~10x less than the unfactored CSR form.
+    """
+
+    seg_bounds: jax.Array  # [Npos+1] int32; states of pos p are [b[p], b[p+1])
+    in_pos: jax.Array  # [S, K] int32 source-position ids (0-padded)
+    in_w: jax.Array  # [S, K] f32 arc probability (0 for padding)
+    state_pdf: jax.Array  # [S] int32
+    init: jax.Array  # [S] f32
+    final: jax.Array  # [S] f32
+
+    @property
+    def num_states(self) -> int:
+        return self.state_pdf.shape[0]
+
+    def tree_flatten(self):
+        return (self.seg_bounds, self.in_pos, self.in_w, self.state_pdf,
+                self.init, self.final), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@partial(jax.jit, static_argnames=("leaky_coef_static",))
+def _forward_score_factored_impl(obs_logprob, seg_bounds, in_pos, in_w,
+                                 state_pdf, init, final, leaky_coef_static):
+    b, t, _ = obs_logprob.shape
+    obs_logprob = obs_logprob.astype(jnp.float32)
+    mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
+    obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
+    obs_state = _gather_obs(obs_exp, state_pdf)  # [B,T,S]
+    init_b = init[None, :]
+
+    a0 = init_b * obs_state[:, 0]
+    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
+    alpha0 = a0 / c0[:, None]
+
+    obs_rest = jnp.moveaxis(obs_state[:, 1:], 1, 0)  # [T-1, B, S]
+    zero = jnp.zeros((b, 1), jnp.float32)
+
+    def step(alpha, obs_t):
+        if leaky_coef_static > 0.0:
+            alpha = alpha + leaky_coef_static * init_b
+        # position aggregation: exclusive cumsum + two gathers (empty
+        # segments — e.g. BOS-context positions with no states — yield 0)
+        cs = jnp.concatenate([zero, jnp.cumsum(alpha, axis=-1)], axis=-1)
+        beta = cs[:, seg_bounds[1:]] - cs[:, seg_bounds[:-1]]  # [B, Npos]
+        gathered = beta[:, in_pos]  # [B, S, K]
+        a = jnp.sum(gathered * in_w, axis=-1) * obs_t
+        c = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
+        return a / c[:, None], jnp.log(c)
+
+    alpha_last, logcs = jax.lax.scan(step, alpha0, obs_rest)
+    log_final = jnp.log(jnp.maximum(jnp.sum(alpha_last * final[None, :],
+                                            axis=-1), _TINY))
+    return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(
+        mx[:, :, 0], axis=1)
+
+
+def forward_score_factored(
+    obs_logprob: jax.Array,
+    g: "FactoredDenGraph",
+    leaky_coef: float = 0.0,
+) -> jax.Array:
+    """forward_score over a FactoredDenGraph — identical math to the dense
+    and CSR kernels (tested bit-close)."""
+    return _forward_score_factored_impl(
+        obs_logprob, g.seg_bounds, g.in_pos, g.in_w, g.state_pdf, g.init,
+        g.final, float(leaky_coef),
+    )

@@ -35,7 +35,9 @@ from tdnnf_nas_tpu.decode.scoring import score_corpus
 from tdnnf_nas_tpu.decode.viterbi import graph_log_arrays, path_to_phones, viterbi_decode
 from tdnnf_nas_tpu.graphs import (
     build_denominator_graph,
+    compile_denominator_fsa,
     den_init_lookup,
+    estimate_ngram_phone_lm,
     estimate_phone_lm,
 )
 from tdnnf_nas_tpu.models import (
@@ -63,13 +65,15 @@ from tdnnf_nas_tpu.train import (
 @dataclasses.dataclass
 class DataBundle:
     lm: object
-    den: object
-    den_arrays: DenGraphArrays
+    den: object  # dense StateGraph (None when the composed graph is too big)
+    den_arrays: object  # DenGraphArrays | FactoredDenGraph
     tree: object
     topo: object
     train_utts: list
     dev_utts: list
     num_phones: int
+    den_fsa: object = None  # CompiledDenFsa on the composed (4-gram/triphone) path
+    egs_stats: dict = dataclasses.field(default_factory=dict)
 
     def egs(self, model_cfg, chunk_width=20, dev=False, tol=2,
             max_phones_per_chunk=24, supernet_cfg=None):
@@ -82,8 +86,12 @@ class DataBundle:
             tolerance=tol, max_phones_per_chunk=max_phones_per_chunk,
         )
         utts = self.dev_utts if dev else self.train_utts
+        if self.den_fsa is not None:
+            return make_egs(utts, self.lm, self.topo, self.tree, cfg,
+                            den_fsa=self.den_fsa, stats=self.egs_stats)
         return make_egs(utts, self.lm, self.topo, self.tree, cfg,
-                        den_init_fn=den_init_lookup(self.den, self.num_phones))
+                        den_init_fn=den_init_lookup(self.den, self.num_phones),
+                        stats=self.egs_stats)
 
 
 def bootstrap_alignments_gmm(utts, phone_seqs, num_phones: int,
@@ -109,19 +117,38 @@ def bootstrap_alignments_gmm(utts, phone_seqs, num_phones: int,
 
 
 def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
-                 dev_fraction: float = 0.05) -> DataBundle:
+                 dev_fraction: float = 0.05,
+                 phone_lm_order: int = 2,
+                 num_extra_lm_states: int = 2000,
+                 max_dense_states: int = 4096) -> DataBundle:
     """Estimate the phone LM, build the den graph, split train/dev.
 
     The 95/5 split mirrors `Prepare_NAS_data.sh:5-7` (dev = the alpha-update
-    cv split).
+    cv split).  ``phone_lm_order > 2`` (Kaldi default 4,
+    `steps/nnet3/chain/train.py:332` chain-est-phone-lm) or a tree with
+    context_width > 2 switches to the composed den FSA + factored sparse
+    kernel; a dense export is kept alongside when small enough (diagnostic
+    phone decode).
     """
     n_dev = max(1, int(len(utts) * dev_fraction))
     dev, train = utts[:n_dev], utts[n_dev:]
-    lm = estimate_phone_lm(phone_seqs, num_phones)
-    den = build_denominator_graph(lm, topo, tree)
+    composed = phone_lm_order > 2 or getattr(tree, "context_width", 1) > 2
+    if not composed:
+        lm = estimate_phone_lm(phone_seqs, num_phones)
+        den = build_denominator_graph(lm, topo, tree)
+        return DataBundle(
+            lm=lm, den=den, den_arrays=DenGraphArrays.from_graph(den),
+            tree=tree, topo=topo, train_utts=train, dev_utts=dev,
+            num_phones=num_phones,
+        )
+    lm = estimate_ngram_phone_lm(phone_seqs, num_phones,
+                                 order=max(phone_lm_order, 2),
+                                 num_extra_lm_states=num_extra_lm_states)
+    comp = compile_denominator_fsa(lm, topo, tree)
+    den = comp.to_state_graph() if comp.num_states <= max_dense_states else None
     return DataBundle(
-        lm=lm, den=den, den_arrays=DenGraphArrays.from_graph(den), tree=tree,
-        topo=topo, train_utts=train, dev_utts=dev, num_phones=num_phones,
+        lm=lm, den=den, den_arrays=comp.to_factored(), tree=tree, topo=topo,
+        train_utts=train, dev_utts=dev, num_phones=num_phones, den_fsa=comp,
     )
 
 

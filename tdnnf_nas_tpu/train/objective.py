@@ -27,8 +27,10 @@ from tdnnf_nas_tpu.core.config import Config
 from tdnnf_nas_tpu.graphs.supervision import ChunkSupervision
 from tdnnf_nas_tpu.ops.fwdbwd import (
     DenGraphArrays,
+    FactoredDenGraph,
     SparseDenGraph,
     forward_score,
+    forward_score_factored,
     forward_score_linear,
     forward_score_sparse,
 )
@@ -59,7 +61,12 @@ def chain_objective(
     b, t, p = chain_out.shape
     n_frames = b * t
 
-    if isinstance(den, SparseDenGraph):
+    if isinstance(den, FactoredDenGraph):
+        # position-factored den (composed 4-gram/triphone graphs)
+        logz_den = forward_score_factored(
+            chain_out, den, leaky_coef=cfg.leaky_hmm_coef,
+        )
+    elif isinstance(den, SparseDenGraph):
         # padded-CSR den (triphone-scale state spaces)
         logz_den = forward_score_sparse(
             chain_out, den, leaky_coef=cfg.leaky_hmm_coef,

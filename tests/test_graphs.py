@@ -42,10 +42,13 @@ def test_den_graph_ci():
     g.validate()
     # every pdf is used exactly once in the CI graph
     assert sorted(g.state_pdf.tolist()) == list(range(10))
-    # stationary init is a fixed point-ish distribution
+    # init = iteration-averaged occupancy from BOS (Kaldi SetInitialProbs
+    # semantics) — near the stationary fixed point but includes ~1/iters of
+    # the early (utterance-start) transient by design
     np.testing.assert_allclose(g.init.sum(), 1.0, atol=1e-4)
     p2 = g.init @ g.trans
-    np.testing.assert_allclose(p2 / p2.sum(), g.init, atol=1e-3)
+    np.testing.assert_allclose(p2 / p2.sum(), g.init, atol=1e-2)
+    assert (g.init > 0).all()  # every state reachable from BOS keeps mass
 
 
 def test_den_graph_biphone():
