@@ -1,0 +1,222 @@
+"""Sparse (arc-list) decoding graph: lexicon x backoff n-gram G x topology
+x tree, at real-vocabulary scale.
+
+Equivalent of the reference's HCLG construction (`utils/mkgraph.sh`
+composing H o C o L o G with the SRILM sw1_tg 3-gram over a ~30k-word
+lexicon, used by ``nnet3-latgen-faster`` —
+`run_tdnn_7q_fbk_40_manual.sh:216-237`).  The dense [S,S] builders in
+decode/wfst.py stop being feasible past a few hundred states; this module
+expands every G arc through the lexicon into a CSR arc-list graph with
+explicit non-emitting junction states and backoff (epsilon) arcs:
+
+  * one non-emitting **junction** per n-gram context state of G,
+  * each n-gram arc (h --w/logp--> h') becomes junction(h) -> [enter/loop
+    chain of w's pronunciation] -> junction(h'); the LM weight and the word
+    label ride the FIRST arc (weight pushing, like Kaldi's), so beam
+    pruning sees costs early,
+  * backoff arcs junction(h) --bow--> junction(h[1:]) stay epsilon.
+
+Emitting states carry one pdf each (state-emitting convention shared with
+training); acoustic scores are added on ARRIVAL at an emitting state.
+Within-word left context is exact; cross-word word-initial context uses the
+predecessor word's final phone when the G context knows it (non-empty
+history) and BOS at the unigram state — exact for every arc out of a
+bigram+ context, the only delta vs Kaldi's full C composition (documented
+here; the unigram state is rarely hypothesized mid-utterance).
+
+The companion time-synchronous beam decoder lives in decode/beam.py; this
+graph is consumed on the host (the TPU computes the acoustic log-probs —
+the same division of labor as the reference's GPU nnet3 forward + CPU
+WFST search).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tdnnf_nas_tpu.decode.wfst import Lexicon
+from tdnnf_nas_tpu.lm.ngram import BOS, EOS, NGramLM
+
+_LN10 = math.log(10.0)
+_NEG = -1e30
+
+
+@dataclasses.dataclass
+class SparseDecodingGraph:
+    """CSR arc-list decoding graph with non-emitting states.
+
+    state_pdf[s] == -1 marks a non-emitting state (junction); arcs are
+    sorted by source.  arc_word is the word label (-1 = epsilon), applied
+    on the arc.  final_w is the ln end-of-sequence weight (junctions only).
+    """
+
+    num_states: int
+    num_pdfs: int
+    out_start: np.ndarray  # [S+1] int64
+    arc_dst: np.ndarray  # [E] int32
+    arc_w: np.ndarray  # [E] float32 (ln)
+    arc_word: np.ndarray  # [E] int32
+    state_pdf: np.ndarray  # [S] int32 (-1 = non-emitting)
+    start_state: int
+    final_w: np.ndarray  # [S] float32 (ln; -inf where not final)
+
+    @property
+    def num_arcs(self) -> int:
+        return int(self.arc_dst.shape[0])
+
+
+def _lm_states(lm: NGramLM) -> Dict[Tuple[str, ...], int]:
+    """Context states of a backoff LM: every proper prefix-context that can
+    be a history (all contexts with continuations, plus all suffixes so
+    backoff chains terminate)."""
+    states = {(): 0}
+    # contexts = all ngrams of length < order that start some longer ngram,
+    # plus everything in backoffs
+    ctxs = set()
+    for ng in lm.logprobs:
+        if len(ng) >= 2:
+            ctxs.add(ng[:-1])
+    ctxs.update(lm.backoffs.keys())
+    # suffix-closure so backoff destinations exist
+    closed = set()
+    for c in ctxs:
+        for k in range(len(c)):
+            closed.add(c[k:])
+    closed.add(())
+    for c in sorted(closed, key=lambda x: (len(x), x)):
+        if c not in states:
+            states[c] = len(states)
+    return states
+
+
+def build_hclg_sparse(
+    lexicon: Lexicon,
+    lm: NGramLM,
+    word_sym: Sequence[str],
+    topo,
+    tree,
+    lm_scale: float = 1.0,
+) -> SparseDecodingGraph:
+    """Expand the backoff n-gram G through the lexicon into a sparse graph.
+
+    ``word_sym[w]`` is word id w's string in the LM; words in the lexicon
+    missing from the LM's unigrams are skipped (OOV handling = the
+    reference's lexicon/LM intersection in prepare_lang).
+    """
+    a = float(topo.self_loop_prob)
+    ln_a, ln_na = math.log(a), math.log(1.0 - a)
+    tctx = getattr(tree, "context_width", 1) - 1
+
+    ctx_states = _lm_states(lm)
+    n_ctx = len(ctx_states)
+    sym_to_id = {s: w for w, s in enumerate(word_sym)}
+
+    # ---- state allocation ----
+    # junctions first [0..n_ctx), then per-(ngram-arc) pron chains
+    state_pdf: List[int] = [-1] * n_ctx
+    arcs_src: List[int] = []
+    arcs_dst: List[int] = []
+    arcs_w: List[float] = []
+    arcs_word: List[int] = []
+    final_w = np.full((n_ctx,), _NEG, np.float64)
+
+    def add_arc(src: int, dst: int, w: float, word: int = -1):
+        arcs_src.append(src)
+        arcs_dst.append(dst)
+        arcs_w.append(w)
+        arcs_word.append(word)
+
+    def dest_ctx(ctx: Tuple[str, ...], w: str) -> int:
+        nxt = (ctx + (w,))[-(lm.order - 1):] if lm.order > 1 else ()
+        while nxt not in ctx_states:
+            nxt = nxt[1:]
+        return ctx_states[nxt]
+
+    def left_of_ctx(ctx: Tuple[str, ...]) -> Tuple[int, ...]:
+        """Cross-word left phone context from the last history word."""
+        if not ctx or ctx[-1] == BOS:
+            return ()
+        wid = sym_to_id.get(ctx[-1])
+        if wid is None or wid not in lexicon.prons:
+            return ()
+        pron = lexicon.prons[wid]
+        return tuple(reversed(pron))[:tctx]
+
+    n_states = n_ctx
+    # group ngrams by context for locality
+    by_ctx: Dict[Tuple[str, ...], List[str]] = {}
+    for ng in lm.logprobs:
+        h, w = ng[:-1], ng[-1]
+        if h in ctx_states:
+            by_ctx.setdefault(h, []).append(w)
+
+    for ctx, words in by_ctx.items():
+        j_src = ctx_states[ctx]
+        cross_left = left_of_ctx(ctx)
+        for wsym in words:
+            if wsym == EOS:
+                final_w[j_src] = max(
+                    final_w[j_src],
+                    lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10)
+                continue
+            if wsym == BOS:
+                continue
+            wid = sym_to_id.get(wsym)
+            if wid is None or wid not in lexicon.prons:
+                continue
+            pron = lexicon.prons[wid]
+            j_dst = dest_ctx(ctx, wsym)
+            lm_w = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
+            # chain states: enter_i, loop_i per phone
+            base = n_states
+            n_states += 2 * len(pron)
+            left = cross_left
+            for i, p in enumerate(pron):
+                e, l = base + 2 * i, base + 2 * i + 1
+                state_pdf.append(int(tree.forward_pdf_ctx(p, left)))
+                state_pdf.append(int(tree.self_loop_pdf(p)))
+                left = ((p,) + left)[:tctx]
+            # arcs: junction -> enter_1 (word label + LM weight, pushed)
+            add_arc(j_src, base, lm_w, wid)
+            for i in range(len(pron)):
+                e, l = base + 2 * i, base + 2 * i + 1
+                for src in (e, l):
+                    add_arc(src, l, ln_a)
+                    if i + 1 < len(pron):
+                        add_arc(src, base + 2 * (i + 1), ln_na)
+                    else:
+                        add_arc(src, j_dst, ln_na)
+
+    # backoff arcs
+    for ctx, sid in ctx_states.items():
+        if ctx:
+            bow = lm.backoffs.get(ctx, 0.0)
+            add_arc(sid, ctx_states[ctx[1:]], lm_scale * bow * _LN10)
+
+    # pad final_w to all states
+    fw = np.full((n_states,), _NEG, np.float32)
+    fw[: n_ctx] = final_w
+
+    src = np.asarray(arcs_src, np.int64)
+    order = np.argsort(src, kind="stable")
+    src = src[order]
+    out_start = np.zeros((n_states + 1,), np.int64)
+    np.add.at(out_start, src + 1, 1)
+    out_start = np.cumsum(out_start)
+
+    start = ctx_states.get((BOS,), ctx_states[()])
+    return SparseDecodingGraph(
+        num_states=n_states,
+        num_pdfs=int(tree.num_pdfs),
+        out_start=out_start,
+        arc_dst=np.asarray(arcs_dst, np.int32)[order],
+        arc_w=np.asarray(arcs_w, np.float32)[order],
+        arc_word=np.asarray(arcs_word, np.int32)[order],
+        state_pdf=np.asarray(state_pdf, np.int32),
+        start_state=int(start),
+        final_w=fw,
+    )

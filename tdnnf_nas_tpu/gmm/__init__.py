@@ -3,6 +3,7 @@ from tdnnf_nas_tpu.gmm.gmm import (
     AmGmm,
     MonoHmmConfig,
     train_mono,
+    train_tri,
     viterbi_align_gmm,
     corpus_loglike,
 )

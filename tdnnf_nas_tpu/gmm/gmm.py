@@ -82,14 +82,23 @@ class DiagGmm:
 
 @dataclasses.dataclass
 class AmGmm:
-    """One DiagGmm per HMM state; states indexed (phone, state_in_phone)."""
+    """One DiagGmm per (tied) HMM state.
+
+    Monophone: states indexed (phone, state_in_phone).  Context-dependent
+    (the reference's tri1/tri2 stages, `run.sh:139-199`): ``tie_table``
+    [P, S, P+1] maps (phone, state_in_phone, left_phone+1) -> tied gmm id
+    (likelihood-clustered, gmm/gmm.py:train_tri).
+    """
 
     gmms: List[DiagGmm]
     num_phones: int
     states_per_phone: int
     self_loop_prob: float = 0.7
+    tie_table: Optional[np.ndarray] = None  # [P, S, P+1] int64
 
-    def state_index(self, phone: int, state: int) -> int:
+    def state_index(self, phone: int, state: int, left: int = -1) -> int:
+        if self.tie_table is not None:
+            return int(self.tie_table[phone, state, left + 1])
         return phone * self.states_per_phone + state
 
     def loglikes(self, feats: np.ndarray) -> np.ndarray:
@@ -111,11 +120,14 @@ def _linear_hmm_arrays(phones: Sequence[int], am: AmGmm):
     """Linear-chain HMM over the utterance transcript.
 
     Returns (state_ids [N] into am states, log transition (self, next) pair).
+    Context-dependent models resolve tied states with the true left phone.
     """
     ids = []
+    prev = -1
     for p in phones:
         for s in range(am.states_per_phone):
-            ids.append(am.state_index(int(p), s))
+            ids.append(am.state_index(int(p), s, prev))
+        prev = int(p)
     return np.asarray(ids, np.int32)
 
 
@@ -174,7 +186,7 @@ def _accumulate_and_update(
     var_floor: float,
 ) -> AmGmm:
     """One EM step: hard-count mixture posteriors within aligned states."""
-    k = am.num_phones * am.states_per_phone
+    k = len(am.gmms)
     new_gmms: List[DiagGmm] = []
     # gather frames per am-state
     frames_per_state: List[List[np.ndarray]] = [[] for _ in range(k)]
@@ -206,7 +218,7 @@ def _accumulate_and_update(
         w = gamma_k / gamma_k.sum()
         new_gmms.append(DiagGmm(w, mu, var))
     return AmGmm(new_gmms, am.num_phones, am.states_per_phone,
-                 am.self_loop_prob)
+                 am.self_loop_prob, tie_table=am.tie_table)
 
 
 def train_mono(
@@ -259,8 +271,71 @@ def train_mono(
         if it in cfg.mix_up_iters and mix < cfg.max_mix:
             mix = min(mix * 2, cfg.max_mix)
             am = AmGmm([g.split(mix) for g in am.gmms], am.num_phones,
-                       am.states_per_phone, am.self_loop_prob)
+                       am.states_per_phone, am.self_loop_prob,
+                       tie_table=am.tie_table)
     return am, paths, lls
+
+
+def train_tri(
+    feats_list: Sequence[np.ndarray],
+    phone_seqs: Sequence[Sequence[int]],
+    num_phones: int,
+    cfg: MonoHmmConfig,
+    init_am: AmGmm,
+    num_leaves: int,
+    min_count: float = 3.0,
+) -> Tuple[AmGmm, List[np.ndarray], List[float]]:
+    """Context-dependent GMM training (the reference's tri1/tri2 stages,
+    `run.sh:139-199` steps/train_deltas.sh): tie (phone, hmm-state,
+    left-phone) triples by likelihood clustering of frame stats from the
+    previous model's alignments, then Viterbi EM with mixture splitting.
+
+    Returns (tied model, alignments, per-iter loglike).
+    """
+    from tdnnf_nas_tpu.graphs.tree_cluster import _cluster_contexts
+
+    d = feats_list[0].shape[1]
+    s_per = init_am.states_per_phone
+    rows = num_phones * s_per  # cluster within each (phone, hmm-state)
+    n_ctx = num_phones + 1
+    counts = np.zeros((rows, n_ctx), np.float64)
+    sums = np.zeros((rows, n_ctx, d), np.float64)
+    sumsqs = np.zeros((rows, n_ctx, d), np.float64)
+    for feats, phones in zip(feats_list, phone_seqs):
+        path, _ = viterbi_align_gmm(feats, phones, init_am)
+        # chain-state -> (phone idx, state-in-phone, left phone)
+        phone_of = np.repeat(np.arange(len(phones)), s_per)[path]
+        state_of = (path % s_per)
+        lefts = np.asarray([-1] + list(phones[:-1]))
+        for t in range(feats.shape[0]):
+            pi = int(phone_of[t])
+            r = int(phones[pi]) * s_per + int(state_of[t])
+            c = int(lefts[pi]) + 1
+            f = feats[t]
+            counts[r, c] += 1.0
+            sums[r, c] += f
+            sumsqs[r, c] += f * f
+    table, n_tied = _cluster_contexts(counts, sums, sumsqs, num_leaves,
+                                      min_count=min_count)
+    tie_table = np.asarray(table, np.int64).reshape(num_phones, s_per, n_ctx)
+
+    # initialize tied GMMs from their cluster stats (single Gaussian)
+    flat = tie_table.reshape(rows, n_ctx)
+    gmms: List[DiagGmm] = []
+    for g in range(n_tied):
+        sel = flat == g
+        n = counts[sel].sum()
+        if n < 1e-8:
+            gmms.append(DiagGmm(np.ones((1,)),
+                                np.zeros((1, d)), np.ones((1, d))))
+            continue
+        mu = sums[sel].sum(axis=0) / n
+        var = np.maximum(sumsqs[sel].sum(axis=0) / n - mu * mu,
+                         cfg.var_floor)
+        gmms.append(DiagGmm(np.ones((1,)), mu[None], var[None]))
+    am = AmGmm(gmms, num_phones, s_per, init_am.self_loop_prob,
+               tie_table=tie_table)
+    return train_mono(feats_list, phone_seqs, num_phones, cfg, init_am=am)
 
 
 def corpus_loglike(

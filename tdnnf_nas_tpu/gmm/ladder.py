@@ -1,9 +1,10 @@
-"""The GMM bootstrap ladder: mono -> LDA+MLLT -> SAT(fMLLR) -> alignments.
+"""The GMM bootstrap ladder: mono -> tri -> LDA+MLLT -> SAT(fMLLR) -> aligns.
 
 Orchestrates gmm.py + transforms.py into the reference's `run.sh` GMM
-staircase (mono/tri1/tri2 collapse into the monophone EM here — the
-framework has no need for the intermediate delta models since the ladder
-only exists to produce alignments; tri3 = LDA+MLLT; tri4 = SAT) and
+staircase (`run.sh:139-257`): mono; tri1/tri2 = context-dependent tied-state
+GMMs (``tri_leaves > 0`` — likelihood-clustered (phone, state, left-phone)
+tying, gmm.train_tri); tri3 = LDA+MLLT (re-tied in the transformed space,
+like Kaldi's tree rebuild per stage); tri4 = SAT/fMLLR; then
 `Prepare_NAS_data.sh:66-75`'s final fMLLR alignment pass.  Output:
 per-utterance phone begin/end frames at the subsampled output rate,
 ready for tolerance-window chain supervision (graphs/supervision.py) —
@@ -20,7 +21,7 @@ import numpy as np
 from tdnnf_nas_tpu.core.config import Config
 from tdnnf_nas_tpu.gmm.gmm import (
     AmGmm, MonoHmmConfig, _linear_hmm_arrays, path_to_phone_bounds,
-    train_mono, viterbi_align_gmm,
+    train_mono, train_tri, viterbi_align_gmm,
 )
 from tdnnf_nas_tpu.gmm.transforms import (
     apply_fmllr, estimate_fmllr, estimate_lda, estimate_mllt, splice_frames,
@@ -30,6 +31,11 @@ from tdnnf_nas_tpu.gmm.transforms import (
 @dataclasses.dataclass(frozen=True)
 class GmmLadderConfig(Config):
     mono: MonoHmmConfig = MonoHmmConfig()
+    # context-dependent tied-state budget (0 = skip the tri1/tri2 stages);
+    # the reference's staircase ends in thousands of tied triphone states
+    tri_leaves: int = 0
+    tri_em_iters: int = 8
+    tri_min_count: float = 3.0
     splice_context: int = 3
     lda_dim: int = 0  # 0 => keep the input feature dim
     mllt_iters: int = 6
@@ -88,14 +94,22 @@ def run_gmm_ladder(
     speakers = list(speakers) if speakers is not None else [0] * n
     d_in = feats_list[0].shape[1]
 
-    # ---- stage 1: monophone flat-start EM (mono/tri1/tri2) -------------
+    # ---- stage 1: monophone flat-start EM -------------------------------
     am, paths, mono_ll = train_mono(feats_list, phone_seqs, num_phones,
                                     cfg.mono)
+
+    # ---- stage 1.5: context-dependent tied-state GMM (tri1/tri2) --------
+    if cfg.tri_leaves > 0:
+        am, paths, _ = train_tri(
+            feats_list, phone_seqs, num_phones,
+            dataclasses.replace(cfg.mono, num_iters=cfg.tri_em_iters),
+            am, cfg.tri_leaves, min_count=cfg.tri_min_count,
+        )
 
     # ---- stage 2: LDA + MLLT on spliced features (tri3) -----------------
     spliced = [splice_frames(f, cfg.splice_context) for f in feats_list]
     classes = _state_classes(am, phone_seqs, paths)
-    num_classes = num_phones * am.states_per_phone
+    num_classes = len(am.gmms)
     lda_dim = cfg.lda_dim or d_in
     lda = estimate_lda(spliced, classes, num_classes, lda_dim)
     lda_feats = [x @ lda.T for x in spliced]
@@ -103,11 +117,18 @@ def run_gmm_ladder(
                                    cfg.mllt_iters)
     transform = mllt @ lda  # [lda_dim, spliced_D]
     tr_feats = [x @ transform.T for x in spliced]
-    # retrain the GMMs in the transformed space (warm-started alignments)
+    # retrain the GMMs in the transformed space (warm-started alignments),
+    # re-tying the context tree there like Kaldi's per-stage tree rebuild
     am2, paths, _ = train_mono(
         tr_feats, phone_seqs, num_phones,
         dataclasses.replace(cfg.mono, num_iters=cfg.lda_mllt_em_iters),
     )
+    if cfg.tri_leaves > 0:
+        am2, paths, _ = train_tri(
+            tr_feats, phone_seqs, num_phones,
+            dataclasses.replace(cfg.mono, num_iters=cfg.tri_em_iters),
+            am2, cfg.tri_leaves, min_count=cfg.tri_min_count,
+        )
 
     # ---- stage 3: SAT / per-speaker fMLLR (tri4) ------------------------
     spk_ids = sorted(set(speakers))
@@ -126,10 +147,12 @@ def run_gmm_ladder(
                            cfg.fmllr_iters)
         fmllr[spk] = w
     adapted = [apply_fmllr(tr_feats[i], fmllr[speakers[i]]) for i in range(n)]
-    # retrain on adapted features (SAT) and final alignment pass
+    # retrain on adapted features (SAT) and final alignment pass; the tied
+    # context tree carries into tri4 via warm-started EM from am2
     am3, paths, _ = train_mono(
         adapted, phone_seqs, num_phones,
         dataclasses.replace(cfg.mono, num_iters=cfg.sat_em_iters),
+        init_am=am2,
     )
     for i in range(n):
         _, s0 = viterbi_align_gmm(tr_feats[i], phone_seqs[i], am2)

@@ -134,8 +134,14 @@ class CompiledDenFsa:
         g.validate(stochastic=False)
         return g
 
-    def to_factored(self):
-        """Device FactoredDenGraph (padded in-arc form)."""
+    def to_factored(self, dense_budget: int = 256_000_000):
+        """Device FactoredDenGraph (padded in-arc form).
+
+        When Npos * S fits ``dense_budget`` entries, also materializes the
+        dense [Npos, S] position->state transition so the recursion runs as
+        an MXU matmul (the K-wide gather lowers to scalar loads on TPU);
+        beyond the budget the kernel falls back to the gather form.
+        """
         from tdnnf_nas_tpu.ops.fwdbwd import FactoredDenGraph
         import jax.numpy as jnp
 
@@ -153,6 +159,11 @@ class CompiledDenFsa:
             lo, hi = starts[j], starts[j + 1]
             in_pos[j, : hi - lo] = srcp[lo:hi]
             in_w[j, : hi - lo] = w[lo:hi]
+        trans_pos = None
+        if self.num_positions * s <= dense_budget:
+            tp = np.zeros((self.num_positions, s), np.float32)
+            np.add.at(tp, (self.arc_src_pos, self.arc_dst), self.arc_w)
+            trans_pos = jnp.asarray(tp)
         return FactoredDenGraph(
             seg_bounds=jnp.asarray(self.seg_bounds),
             in_pos=jnp.asarray(in_pos),
@@ -160,6 +171,7 @@ class CompiledDenFsa:
             state_pdf=jnp.asarray(self.state_pdf),
             init=jnp.asarray(self.init),
             final=jnp.asarray(self.final),
+            trans_pos=trans_pos,
         )
 
     def init_lookup_seq(self, lm, phones) -> Tuple[np.ndarray, np.ndarray]:

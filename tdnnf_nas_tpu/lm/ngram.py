@@ -130,39 +130,52 @@ def estimate_ngram_lm(
     vocab = {w for (w,) in counts[1]}
     v = max(len(vocab), 1)
 
+    # precomputed per-context totals/uniques (keeps estimation linear in the
+    # number of distinct n-grams — required at real-LM scale)
+    ctx_count: List[Dict[Tuple[str, ...], float]] = [defaultdict(float)
+                                                     for _ in range(order + 1)]
+    ctx_uniq: List[Dict[Tuple[str, ...], int]] = [defaultdict(int)
+                                                  for _ in range(order + 1)]
+    for n in range(2, order + 1):
+        for ng, c in counts[n].items():
+            ctx_count[n][ng[:-1]] += c
+            ctx_uniq[n][ng[:-1]] += 1
+
     # interpolated WB probabilities
     probs: Dict[Tuple[str, ...], float] = {}
+    uni_tot = sum(counts[1].values())
 
     def p_interp(ng: Tuple[str, ...]) -> float:
         n = len(ng)
         if n == 1:
-            tot = sum(counts[1].values())
-            return (counts[1].get(ng, 0.0) + 1.0) / (tot + v)
+            return (counts[1].get(ng, 0.0) + 1.0) / (uni_tot + v)
+        cached = probs.get(ng)
+        if cached is not None:
+            return cached
         ctx = ng[:-1]
-        ctx_count = sum(c for g, c in counts[n].items() if g[:-1] == ctx)
-        uniq = len({g[-1] for g in counts[n] if g[:-1] == ctx})
-        if ctx_count <= 0:
+        cc = ctx_count[n].get(ctx, 0.0)
+        if cc <= 0:
             return p_interp(ng[1:])
-        lam = ctx_count / (ctx_count + uniq)
-        return lam * counts[n].get(ng, 0.0) / ctx_count + (1 - lam) * p_interp(ng[1:])
+        lam = cc / (cc + ctx_uniq[n][ctx])
+        return lam * counts[n].get(ng, 0.0) / cc + (1 - lam) * p_interp(ng[1:])
 
-    for n in range(1, order + 1):
+    for n in range(1, order + 1):  # low orders first so p_interp cache hits
         for ng in counts[n]:
             probs[ng] = p_interp(ng)
 
-    # backoff weights so that sum_w P(w|ctx) == 1
+    # backoff weights so that sum_w P(w|ctx) == 1: accumulate the seen-mass
+    # sums per context in one linear pass
     logprobs = {ng: math.log10(max(p, 1e-12)) for ng, p in probs.items()}
+    seen_hi: Dict[Tuple[str, ...], float] = defaultdict(float)
+    seen_lo: Dict[Tuple[str, ...], float] = defaultdict(float)
+    for n in range(2, order + 1):
+        for ng in counts[n]:
+            ctx = ng[:-1]
+            seen_hi[ctx] += probs[ng]
+            seen_lo[ctx] += probs.get(ng[1:], probs.get((ng[-1],), 1e-12))
     backoffs: Dict[Tuple[str, ...], float] = {}
-    for n in range(1, order):
-        ctxs = {ng for ng in counts[n]}
-        for ctx in ctxs:
-            seen = [ng for ng in counts[n + 1] if ng[:-1] == ctx]
-            if not seen:
-                continue
-            p_seen = sum(probs[ng] for ng in seen)
-            p_lower = sum(probs.get(ng[1:], probs.get((ng[-1],), 1e-12))
-                          for ng in seen)
-            num = max(1.0 - p_seen, 1e-12)
-            den = max(1.0 - p_lower, 1e-12)
-            backoffs[ctx] = math.log10(num / den)
+    for ctx, hi in seen_hi.items():
+        num = max(1.0 - hi, 1e-12)
+        den = max(1.0 - seen_lo[ctx], 1e-12)
+        backoffs[ctx] = math.log10(num / den)
     return NGramLM(order, logprobs, backoffs)

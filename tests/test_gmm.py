@@ -195,3 +195,53 @@ def test_gmm_alignments_feed_chain_supervision(corpus):
     assert len(egs) > 0
     # masks must admit at least one frame per chunk (valid supervision)
     assert all(e.sup.mask.sum() > 0 for e in egs)
+
+
+def test_train_tri_context_dependent_tying():
+    """tri1/tri2-equivalent: tied (phone, state, left) GMMs raise loglike
+    over the monophone model on context-colored data (ref run.sh:139-199)."""
+    from tdnnf_nas_tpu.gmm import train_tri
+    from tdnnf_nas_tpu.gmm.gmm import corpus_loglike
+
+    cfg = SyntheticCorpusConfig(num_utts=24, num_phones=5, feat_dim=10,
+                                mean_dur=4.0, emission_noise=0.5,
+                                context_shift=2.0, seed=7)
+    utts, phone_seqs, _, _ = make_synthetic_corpus(cfg)
+    feats = [u.feats for u in utts]
+    mono_cfg = MonoHmmConfig(num_iters=6, max_mix=2, mix_up_iters=(3,))
+    am0, _, _ = train_mono(feats, phone_seqs, cfg.num_phones, mono_cfg)
+    ll_mono = corpus_loglike(am0, feats, phone_seqs)
+    am1, paths, lls = train_tri(feats, phone_seqs, cfg.num_phones, mono_cfg,
+                                am0, num_leaves=30)
+    ll_tri = corpus_loglike(am1, feats, phone_seqs)
+    assert ll_tri > ll_mono + 0.1, (ll_mono, ll_tri)
+    # tying is genuinely context-dependent: some (phone, state) row has
+    # different tied ids across left contexts
+    tt = am1.tie_table
+    assert tt is not None
+    assert any(len(set(tt[p, s].tolist())) > 1
+               for p in range(cfg.num_phones)
+               for s in range(am1.states_per_phone))
+    # every tied id in range, table dense
+    assert tt.min() >= 0 and tt.max() < len(am1.gmms)
+
+
+def test_ladder_with_tri_stages():
+    cfg = SyntheticCorpusConfig(num_utts=24, num_phones=5, feat_dim=10,
+                                mean_dur=4.0, emission_noise=0.5,
+                                context_shift=2.0, seed=8)
+    utts, phone_seqs, _, _ = make_synthetic_corpus(cfg)
+    feats = [u.feats for u in utts]
+    res = run_gmm_ladder(
+        feats, phone_seqs, cfg.num_phones,
+        GmmLadderConfig(mono=MonoHmmConfig(num_iters=5, max_mix=2,
+                                           mix_up_iters=(3,)),
+                        tri_leaves=25, tri_em_iters=5,
+                        splice_context=2, lda_dim=8,
+                        lda_mllt_em_iters=4, sat_em_iters=3),
+    )
+    assert res.am.tie_table is not None  # tri tying survived to tri4
+    errs = []
+    for u, b in zip(utts, res.begins):
+        errs += [abs(bi - bt) for bi, bt in zip(b, u.begins)]
+    assert np.mean(errs) < 2.0, np.mean(errs)

@@ -101,6 +101,8 @@ def test_compiled_bigram_biphone_matches_dense_builder():
 
 
 def test_factored_kernel_matches_dense_and_reference():
+    import dataclasses as _dc
+
     p = 5
     seqs = _seqs(p, seed=2)
     lm = estimate_ngram_phone_lm(seqs, p, order=3, num_extra_lm_states=20)
@@ -108,28 +110,38 @@ def test_factored_kernel_matches_dense_and_reference():
     tree = BiphoneTree(p)
     comp = compile_denominator_fsa(lm, topo, tree)
     g = comp.to_state_graph()
-    f = comp.to_factored()
+    f_mxu = comp.to_factored()  # dense [Npos,S] MXU path (bf16 hi/lo split)
+    assert f_mxu.trans_pos is not None
+    f_gather = _dc.replace(f_mxu, trans_pos=None)  # strict-f32 gather path
 
     rng = np.random.RandomState(1)
     t = 10
     obs = rng.randn(3, t, tree.num_pdfs).astype(np.float32)
     for leaky in (0.0, 0.1):
-        zf = forward_score_factored(jnp.asarray(obs), f, leaky_coef=leaky)
+        zg = forward_score_factored(jnp.asarray(obs), f_gather,
+                                    leaky_coef=leaky)
+        zm = forward_score_factored(jnp.asarray(obs), f_mxu,
+                                    leaky_coef=leaky)
         zd = forward_score(jnp.asarray(obs), jnp.asarray(g.trans),
                            jnp.asarray(g.state_pdf), jnp.asarray(g.init),
                            jnp.asarray(g.final), leaky_coef=leaky)
-        np.testing.assert_allclose(np.asarray(zf), np.asarray(zd), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(zg), np.asarray(zd), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(zm), np.asarray(zd), rtol=2e-3)
         zr = forward_score_reference(obs[0], g.trans, g.state_pdf, g.init,
                                      g.final, leaky_coef=leaky)
-        np.testing.assert_allclose(float(zf[0]), zr, rtol=1e-4)
+        np.testing.assert_allclose(float(zg[0]), zr, rtol=1e-4)
     # gradients agree too (the backward is the occupancy-posterior pass)
-    gf = jax.grad(lambda o: jnp.sum(forward_score_factored(o, f, 0.1)))(
-        jnp.asarray(obs))
     gd = jax.grad(lambda o: jnp.sum(forward_score(
         o, jnp.asarray(g.trans), jnp.asarray(g.state_pdf),
         jnp.asarray(g.init), jnp.asarray(g.final), leaky_coef=0.1)))(
         jnp.asarray(obs))
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd), atol=2e-4)
+    gg = jax.grad(lambda o: jnp.sum(forward_score_factored(o, f_gather,
+                                                           0.1)))(
+        jnp.asarray(obs))
+    gm = jax.grad(lambda o: jnp.sum(forward_score_factored(o, f_mxu, 0.1)))(
+        jnp.asarray(obs))
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gd), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gd), atol=5e-3)
 
 
 def test_numerator_subset_of_ngram_den():
