@@ -32,6 +32,11 @@ from tdnnf_nas_tpu.graphs.topology import ChainTopology
 @dataclasses.dataclass(frozen=True)
 class EgsConfig(Config):
     chunk_width: int = 50  # output frames (Kaldi 150 input = 50 subsampled)
+    # extra widths for mixed-size chunks (Kaldi --egs.chunk-width 150,110,100
+    # => subsampled 50,37,33, `run_tdnn_7q_fbk_40_manual.sh:186`); chunks
+    # rotate through (chunk_width, *extra_chunk_widths) along each utterance
+    # and batches are width-bucketed (one jit shape per width).
+    extra_chunk_widths: tuple = ()
     frame_subsampling_factor: int = 3
     left_context: int = 34  # model context (models.model_context)
     right_context: int = 34
@@ -40,17 +45,24 @@ class EgsConfig(Config):
     min_phones_per_chunk: int = 1
 
     @property
+    def chunk_widths(self) -> tuple:
+        return (self.chunk_width,) + tuple(self.extra_chunk_widths)
+
+    @property
     def max_states(self) -> int:
         return 2 * self.max_phones_per_chunk
 
-    @property
-    def input_frames(self) -> int:
+    def input_frames_for(self, w: int) -> int:
         return (
             self.left_context
-            + (self.chunk_width - 1) * self.frame_subsampling_factor
+            + (w - 1) * self.frame_subsampling_factor
             + 1
             + self.right_context
         )
+
+    @property
+    def input_frames(self) -> int:
+        return self.input_frames_for(self.chunk_width)
 
 
 @dataclasses.dataclass
@@ -86,11 +98,13 @@ def make_egs(
     (Kaldi's get_egs.sh logs the same discard accounting).
     """
     fs = cfg.frame_subsampling_factor
-    w = cfg.chunk_width
+    widths = cfg.chunk_widths
+    w_min = min(widths)
     chunks: List[Chunk] = []
     n_short_utts = 0
     n_dropped_chunks = 0
     n_kept_chunks = 0
+    kept_frames_total = 0
     dropped_frames = 0
     for utt in utts:
         t_out = len(utt.pdf_align) if utt.pdf_align is not None else (
@@ -99,7 +113,7 @@ def make_egs(
         padded = _pad_feats(utt.feats, cfg.left_context, cfg.right_context)
         begins = np.asarray(utt.begins)
         ends = np.asarray(utt.ends)
-        if t_out < w:
+        if t_out < w_min:
             n_short_utts += 1
             dropped_frames += t_out
             continue  # utterance shorter than one chunk
@@ -119,11 +133,21 @@ def make_egs(
             left = ((int(p),) + left)[:tctx]
         utt_init = (den_fsa.init_lookup_seq(lm, utt.phones)
                     if den_fsa is not None else None)
-        # chunk starts: cover the utterance; last chunk snaps back to fit
-        starts = list(range(0, t_out - w + 1, w))
-        if starts[-1] + w < t_out:
-            starts.append(t_out - w)
-        for c in starts:
+        # chunk tiling: rotate through the configured widths along the
+        # utterance; last chunk snaps back to fit
+        pieces = []
+        pos, wi = 0, 0
+        while pos + w_min <= t_out:
+            w = widths[wi % len(widths)]
+            wi += 1
+            if pos + w > t_out:
+                fits = [x for x in widths if pos + x <= t_out]
+                w = max(fits) if fits else w_min
+                if pos + w > t_out:
+                    pos = t_out - w
+            pieces.append((pos, w))
+            pos += w
+        for c, w in pieces:
             # phones overlapping [c, c+w)
             sel = (ends >= c) & (begins < c + w)
             idx = np.nonzero(sel)[0]
@@ -145,11 +169,12 @@ def make_egs(
                 init_ctx=ctxs[i0], init_left=lefts[i0],
             )
             in_start = c * fs  # padded coords: original frame c*fs - left + left
-            feats = padded[in_start : in_start + cfg.input_frames]
+            feats = padded[in_start : in_start + cfg.input_frames_for(w)]
             chunks.append(Chunk(feats=feats, sup=sup))
             n_kept_chunks += 1
+            kept_frames_total += w
     if stats is not None:
-        kept_frames = n_kept_chunks * w
+        kept_frames = kept_frames_total
         stats.update(
             num_chunks=n_kept_chunks,
             dropped_chunks=n_dropped_chunks,
@@ -170,16 +195,30 @@ def batch_iterator(
     epochs: Optional[int] = None,
 ) -> Iterator[dict]:
     """Yields {"feats": [B,T,F], "sup": batched ChunkSupervision,
-    "ivectors": [B,D]|absent} host-side numpy batches."""
+    "ivectors": [B,D]|absent} host-side numpy batches.
+
+    Mixed chunk widths are bucketed: every batch holds chunks of one width
+    (one jit shape per width), batch order shuffled across buckets."""
+    groups: dict = {}
+    for j, c in enumerate(chunks):
+        groups.setdefault(c.feats.shape[0], []).append(j)
+    group_idx = [np.asarray(g, np.int64) for g in groups.values()]
     epoch = 0
     while epochs is None or epoch < epochs:
-        order = np.arange(len(chunks))
+        batches = []
+        for g in group_idx:
+            order = g.copy()
+            if shuffle:
+                rng.shuffle(order)
+            stop = len(order) - (batch_size - 1 if drop_last else 0)
+            for i in range(0, max(stop, 0), batch_size):
+                sel = order[i : i + batch_size]
+                if drop_last and len(sel) < batch_size:
+                    continue
+                batches.append(sel)
         if shuffle:
-            rng.shuffle(order)
-        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
-            sel = order[i : i + batch_size]
-            if drop_last and len(sel) < batch_size:
-                continue
+            rng.shuffle(batches)
+        for sel in batches:
             batch = {
                 "feats": np.stack([chunks[j].feats for j in sel]),
                 "sup": stack_supervisions([chunks[j].sup for j in sel]),

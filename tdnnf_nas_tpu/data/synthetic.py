@@ -45,6 +45,7 @@ class Utterance:
     ends: List[int]  # output-frame phone ends (inclusive)
     pdf_align: np.ndarray  # [T_out] int32
     words: List[int] = dataclasses.field(default_factory=list)
+    speaker: int = 0
 
 
 def make_synthetic_corpus(cfg: SyntheticCorpusConfig):
@@ -108,6 +109,13 @@ class WordCorpusConfig(Config):
     mean_dur: float = 3.0
     frame_subsampling_factor: int = 3
     emission_noise: float = 0.5
+    # left-context coloring (coarticulation analogue, see
+    # SyntheticCorpusConfig.context_shift)
+    context_shift: float = 0.0
+    # per-speaker affine corruption of the features (what fMLLR/SAT adapt
+    # away); 0 speakers = off
+    num_speakers: int = 0
+    speaker_shift: float = 0.0
     seed: int = 0
 
 
@@ -131,31 +139,49 @@ def make_word_corpus(cfg: WordCorpusConfig):
         w += 1
     word_bigram = rng.dirichlet(np.ones(cfg.vocab_size) * 0.5, size=cfg.vocab_size)
     means = rng.randn(tree.num_pdfs, cfg.feat_dim) * 2.0
+    ctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
+    spk_a = spk_b = None
+    if cfg.num_speakers > 0:
+        # per-speaker mild affine corruption: scale near 1, random shift
+        spk_a = 1.0 + cfg.speaker_shift * 0.2 * rng.randn(
+            cfg.num_speakers, cfg.feat_dim)
+        spk_b = cfg.speaker_shift * rng.randn(cfg.num_speakers, cfg.feat_dim)
     fs = cfg.frame_subsampling_factor
 
     utts = []
-    for _ in range(cfg.num_utts):
+    speakers = []
+    for ui in range(cfg.num_utts):
         n_words = rng.randint(cfg.min_words, cfg.max_words + 1)
         words = [rng.randint(cfg.vocab_size)]
         for _ in range(n_words - 1):
             words.append(rng.choice(cfg.vocab_size, p=word_bigram[words[-1]]))
         phones = [p for wd in words for p in prons[wd]]
-        begins, ends, pdfs = [], [], []
+        begins, ends, pdfs, lctx = [], [], [], []
         t = 0
+        prev = -1
         for p in phones:
             dur = 1 + rng.geometric(1.0 / cfg.mean_dur)
             begins.append(t)
             ends.append(t + dur - 1)
             pdfs.append(tree.forward_pdf(p))
             pdfs.extend([tree.self_loop_pdf(p)] * (dur - 1))
+            lctx.extend([prev] * dur)
             t += dur
+            prev = p
         pdf_align = np.asarray(pdfs, np.int32)
         feats = (
             means[np.repeat(pdf_align, fs)]
             + rng.randn(len(pdf_align) * fs, cfg.feat_dim) * cfg.emission_noise
-        ).astype(np.float32)
-        utts.append(Utterance(feats, phones, begins, ends, pdf_align,
-                              words=words))
+        )
+        if cfg.context_shift > 0.0:
+            feats = feats + cfg.context_shift * ctx_shift[
+                np.repeat(np.asarray(lctx) + 1, fs)]
+        spk = ui % max(cfg.num_speakers, 1)
+        if spk_a is not None:
+            feats = feats * spk_a[spk] + spk_b[spk]
+        speakers.append(spk)
+        utts.append(Utterance(feats.astype(np.float32), phones, begins, ends,
+                              pdf_align, words=words, speaker=spk))
     word_seqs = [u.words for u in utts]
     phone_seqs = [u.phones for u in utts]
     return utts, prons, word_seqs, phone_seqs, tree, topo

@@ -324,12 +324,34 @@ def lattice_oracle_wer(lat: Lattice, ref: Sequence[int]) -> int:
     return int(d[lat.end, r])
 
 
-def _old_lm_logprob(wlm: WordLM, prev: int, word: int) -> float:
+def _old_lm_logprob(wlm, prev, word: int, word_to_token=str) -> float:
+    """ln first-pass LM prob to REMOVE.  ``wlm`` is the dense builders'
+    bigram WordLM (prev = last word id) or an lm.ngram.NGramLM — the G of
+    the sparse HCLG (prev = tuple of last order-1 word tokens)."""
+    if isinstance(prev, tuple):  # NGramLM old LM
+        return wlm.log_prob_word(prev, word_to_token(word)) * _LN10
     return math.log(max(float(wlm.probs[prev + 1, word]), 1e-30))
 
 
-def _old_lm_final(wlm: WordLM, prev: int) -> float:
+def _old_lm_final(wlm, prev, word_to_token=str) -> float:
+    if isinstance(prev, tuple):
+        from tdnnf_nas_tpu.lm.ngram import EOS
+
+        return wlm.log_prob_word(prev, EOS) * _LN10
     return math.log(max(float(wlm.final[prev + 1]), 1e-30))
+
+
+def _old_ctx_init(old_lm):
+    from tdnnf_nas_tpu.lm.ngram import BOS, NGramLM
+
+    return (BOS,) if isinstance(old_lm, NGramLM) else -1
+
+
+def _old_ctx_next(old_lm, prev, word: int, word_to_token=str):
+    if isinstance(prev, tuple):
+        return (prev + (word_to_token(word),))[-(old_lm.order - 1):] \
+            if old_lm.order > 1 else ()
+    return word
 
 
 def rescore_lattice(
@@ -367,7 +389,7 @@ def rescore_lattice(
     states: List[Dict[Tuple, Tuple[float, Tuple[int, ...]]]] = [
         {} for _ in range(lat.num_nodes)
     ]
-    states[lat.start][(-1, ())] = (0.0, ())
+    states[lat.start][(_old_ctx_init(old_lm), ())] = (0.0, ())
     finals: List[Tuple[float, Tuple[int, ...]]] = []
     for node in order:
         node = int(node)
@@ -390,9 +412,10 @@ def rescore_lattice(
                 if wd >= 0:
                     ctx = [BOS] + [word_to_token(h) for h in hist]
                     lp_new = new_lm.log_prob_word(ctx, word_to_token(wd)) * _LN10
-                    nsc += lm_scale * lp_new - _old_lm_logprob(old_lm, prev, wd)
+                    nsc += lm_scale * lp_new - _old_lm_logprob(
+                        old_lm, prev, wd, word_to_token)
                     nhist = (hist + (wd,))[-ctx_len:] if ctx_len else ()
-                    nprev = wd
+                    nprev = _old_ctx_next(old_lm, prev, wd, word_to_token)
                     nwords = words + (wd,)
                 elif d == lat.end:
                     # final arc: swap the old LM's end-of-sentence prob
@@ -400,7 +423,8 @@ def rescore_lattice(
                     from tdnnf_nas_tpu.lm.ngram import EOS
 
                     lp_new = new_lm.log_prob_word(ctx, EOS) * _LN10
-                    nsc += lm_scale * lp_new - _old_lm_final(old_lm, prev)
+                    nsc += lm_scale * lp_new - _old_lm_final(old_lm, prev,
+                                                             word_to_token)
                 key = (nprev, nhist)
                 cur = states[d].get(key)
                 if cur is None or nsc > cur[0]:
@@ -427,6 +451,7 @@ def rescore_lattice_rnnlm(
     n: int = 1,
     beam: float = 20.0,
     max_states_per_node: int = 32,
+    word_to_token=str,
 ) -> List[Tuple[List[int], float]]:
     """Pruned RNNLM lattice rescoring with n-gram history clustering —
     the Kaldi `rnnlm/lmrescore_pruned.sh` approximation: expansion states
@@ -461,7 +486,12 @@ def rescore_lattice_rnnlm(
                 d = int(lat.arc_dst[e])
                 wd = int(lat.arc_word[e])
                 base = float(lat.arc_am[e]) + float(lat.arc_gs[e])
-                prev = hist[-1] if hist else -1
+                from tdnnf_nas_tpu.lm.ngram import BOS as _B, NGramLM as _N
+                if isinstance(old_lm, _N):
+                    prev = ((_B,) + tuple(word_to_token(h) for h in hist))[
+                        -(max(old_lm.order - 1, 1)):]
+                else:
+                    prev = hist[-1] if hist else -1
                 if wd >= 0:
                     lp, nstate = scorer.advance(rstate, wd)
                     nsc = (sc + base + lm_scale * lp

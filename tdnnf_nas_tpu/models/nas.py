@@ -275,7 +275,7 @@ def expected_flops(alphas_bottleneck: jax.Array, cfg: DartsModelConfig, tau=1.0)
 
 def _scan_offset_stack(
     cfg: DartsModelConfig, params, alphas, bn_state, x, mode, tau, key,
-    train, bn_frozen, dropout_key,
+    train, bn_frozen, dropout_key, dropout_p=None,
 ):
     """The tdnnf-DARTS stack as one lax.scan over layers.
 
@@ -347,7 +347,10 @@ def _scan_offset_stack(
             new_bm, new_bv = bm, bv
         cur = ((cur - mean)
                * jax.lax.rsqrt(jnp.maximum(var, 0.0) + base.BN_EPS)).astype(dt)
-        cur = base._dropout(cur, b_cfg.dropout_proportion, lkd, train)
+        cur = base._dropout(
+            cur,
+            b_cfg.dropout_proportion if dropout_p is None else dropout_p,
+            lkd, train)
         prev = x[:, (k - 1): (k - 1) + t_out0]
         out = cur + jnp.asarray(b_cfg.bypass_scale, cur.dtype) * prev
         # zero the garbage region: otherwise it grows unboundedly across
@@ -396,6 +399,7 @@ def apply_supernet(
     train: bool = False,
     bn_frozen: bool = False,
     dropout_key: Optional[jax.Array] = None,
+    dropout_p=None,
 ):
     """Supernet forward.
 
@@ -437,12 +441,13 @@ def apply_supernet(
          + params["tdnn1"]["b"]).astype(dt)
     x = jax.nn.relu(x)
     x, new_bn["tdnn1"] = base._batchnorm(x, bn_state["tdnn1"], bn_train)
-    x = base._dropout(x, b.dropout_proportion, next(dk) if dk else None, train)
+    x = base._dropout(x, b.dropout_proportion if dropout_p is None else dropout_p,
+                      next(dk) if dk else None, train)
 
     if cfg.search_offsets and cfg.scan_layers:
         x, stack_bn, stack_coefs = _scan_offset_stack(
             cfg, params, alphas, bn_state, x, mode, tau, key, train,
-            bn_frozen, dropout_key,
+            bn_frozen, dropout_key, dropout_p=dropout_p,
         )
         new_bn.update(stack_bn)
         coefs.update(stack_coefs)
@@ -494,7 +499,9 @@ def apply_supernet(
                                  compute_dtype=dt).astype(dt)
         cur = jax.nn.relu(cur)
         cur, new_bn[name] = base._batchnorm(cur, bn_state[name], bn_train)
-        cur = base._dropout(cur, b.dropout_proportion, next(dk) if dk else None, train)
+        cur = base._dropout(cur,
+                            b.dropout_proportion if dropout_p is None else dropout_p,
+                            next(dk) if dk else None, train)
         lspan = -lin_off[0]
         rspan = aff_off[-1]
         prev = x[:, lspan : x.shape[1] - rspan] if (lspan or rspan) else x

@@ -244,14 +244,18 @@ def _batchnorm(x, stats, train: bool):
     return ((x - mean) * inv).astype(x.dtype), new_stats
 
 
-def _dropout(x, p: float, key, train: bool):
+def _dropout(x, p, key, train: bool):
     """Per-dim dropout mask shared across time (GeneralDropoutComponent
-    behavior, `composite_layers.py:192-196`)."""
-    if not train or p <= 0.0 or key is None:
+    behavior, `composite_layers.py:192-196`).  ``p`` may be a python float
+    or a traced scalar (the per-step dropout schedule,
+    `--trainer.dropout-schedule` in `steps/libs/nnet3/train/common.py`)."""
+    if not train or key is None:
         return x
-    keep = 1.0 - p
+    if isinstance(p, (int, float)) and p <= 0.0:
+        return x
+    keep = 1.0 - jnp.asarray(p, jnp.float32)
     mask = jax.random.bernoulli(key, keep, (x.shape[0], 1, x.shape[-1]))
-    return x * mask.astype(x.dtype) / keep
+    return x * mask.astype(x.dtype) / jnp.maximum(keep, 1e-3).astype(x.dtype)
 
 
 def apply_model(
@@ -264,6 +268,7 @@ def apply_model(
     dropout_key: Optional[jax.Array] = None,
     post_bn_scales=None,
     layer_activations=None,
+    dropout_p=None,
 ):
     """Forward pass.
 
@@ -283,6 +288,7 @@ def apply_model(
     dt = cfg.dtype
     new_bn = {}
     dk = iter(jax.random.split(dropout_key, 32)) if dropout_key is not None else None
+    dp = cfg.dropout_proportion if dropout_p is None else dropout_p
 
     # --- lda: splice (-1,0,1) + appended constant-t ivector, fixed affine ---
     t_spliced = feats.shape[1] - 2
@@ -309,18 +315,20 @@ def apply_model(
     x, new_bn["tdnn1"] = _batchnorm(x, bn_state["tdnn1"], train)
     if post_bn_scales is not None and "tdnn1" in post_bn_scales:
         x = x * post_bn_scales["tdnn1"]
-    x = _dropout(x, cfg.dropout_proportion, next(dk) if dk else None, train)
+    x = _dropout(x, dp, next(dk) if dk else None, train)
 
     chain, xent = tdnnf_stack_and_heads(cfg, params, bn_state, new_bn, x,
                                         train, dk, consumed_left=1,
                                         post_bn_scales=post_bn_scales,
-                                        layer_activations=layer_activations)
+                                        layer_activations=layer_activations,
+                                        dropout_p=dropout_p)
     return chain, xent, new_bn
 
 
 def tdnnf_stack_and_heads(
     cfg: TdnnfModelConfig, params, bn_state, new_bn, x, train, dk,
     consumed_left: int = 1, post_bn_scales=None, layer_activations=None,
+    dropout_p=None,
 ):
     """The tdnnf stack + prefinal/output heads on a hidden sequence x.
 
@@ -359,7 +367,9 @@ def tdnnf_stack_and_heads(
         cur, new_bn[name] = _batchnorm(cur, bn_state[name], train)
         if post_bn_scales is not None and name in post_bn_scales:
             cur = cur * post_bn_scales[name]
-        cur = _dropout(cur, cfg.dropout_proportion, next(dk) if dk else None, train)
+        cur = _dropout(cur,
+                       cfg.dropout_proportion if dropout_p is None else dropout_p,
+                       next(dk) if dk else None, train)
         # bypass: trim prev to cur's (shorter) time extent
         prev = x[:, l : x.shape[1] - r] if (l or r) else x
         x = cur + jnp.asarray(cfg.bypass_scale, cur.dtype) * prev

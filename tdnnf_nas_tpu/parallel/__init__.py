@@ -4,4 +4,5 @@ from tdnnf_nas_tpu.parallel.mesh import (
     replicated_sharding,
     put_replicated,
     put_batch,
+    prefetch_to_device,
 )

@@ -61,3 +61,45 @@ def put_batch(batch, mesh: Mesh):
     """
     s = dp_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def prefetch_to_device(it, size: int = 2, mesh: Mesh = None):
+    """Wrap a host batch iterator with a background thread that stages the
+    next ``size`` batches on device while the current step runs.
+
+    Host->device copies are the dominant cost of a streamed input pipeline
+    (especially through a remote-device tunnel); overlapping them with
+    compute recovers most of the device-only throughput — the egs-feeding
+    analogue of Kaldi's double-buffered example reader.
+    """
+    import queue as _queue
+    import threading
+
+    import jax.numpy as jnp
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=size)
+    err = []
+
+    def put(x):
+        if mesh is not None:
+            return put_batch(x, mesh)
+        return jax.tree.map(jnp.asarray, x)
+
+    def worker():
+        try:
+            for b in it:
+                q.put(put(b))
+        except Exception as e:  # surface in the consumer
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is None:
+            if err:
+                raise err[0]
+            return
+        yield b

@@ -243,6 +243,99 @@ def decode_corpus(
     return score_corpus(refs, hyps)
 
 
+def forward_corpus(
+    bundle_or_cfg,
+    model_cfg,
+    state: TrainState,
+    utts,
+    bucket: int = 64,
+    batch_size: int = 16,
+):
+    """Batched acoustic forward of whole utterances on TPU.
+
+    Utterances are bucketed by padded output length (few jit shapes) and
+    stacked into [B, T_in, F] batches — the eval-set-scale replacement for
+    the per-utterance Python loop (`nnet3-compute`'s batched analogue).
+    Returns per-utterance [T_out, P] log-output arrays (chain head).
+    """
+    from tdnnf_nas_tpu.models import apply_model
+    import jax
+    import jax.numpy as jnp
+
+    left, right = model_context(model_cfg)
+    fs = model_cfg.frame_subsampling_factor
+
+    @jax.jit
+    def fwd(feats, ivectors):
+        chain, _, _ = apply_model(model_cfg, state.params, state.bn_state,
+                                  feats, ivectors, train=False)
+        return chain
+
+    buckets = {}
+    for i, utt in enumerate(utts):
+        t_out = len(utt.pdf_align) if utt.pdf_align is not None else (
+            utt.feats.shape[0] // fs)
+        t_pad = ((t_out + bucket - 1) // bucket) * bucket
+        buckets.setdefault(t_pad, []).append((i, utt, t_out))
+
+    outs = [None] * len(utts)
+    for t_pad, items in sorted(buckets.items()):
+        need = left + (t_pad - 1) * fs + 1 + right
+        for j in range(0, len(items), batch_size):
+            group = items[j: j + batch_size]
+            feats = np.stack([
+                np.concatenate([
+                    np.repeat(u.feats[:1], left, 0), u.feats,
+                    np.repeat(u.feats[-1:], need, 0)])[:need]
+                for _, u, _ in group])
+            iv = (np.zeros((len(group), model_cfg.ivector_dim), np.float32)
+                  if model_cfg.ivector_dim else None)
+            chain = fwd(jnp.asarray(feats),
+                        None if iv is None else jnp.asarray(iv))
+            chain = np.asarray(chain, np.float32)
+            for (i, _, t_out), row in zip(group, chain):
+                outs[i] = row[:t_out]
+    return outs
+
+
+def decode_corpus_words(
+    bundle_or_cfg,
+    model_cfg,
+    state: TrainState,
+    graph,
+    utts,
+    acoustic_scale: float = 1.0,
+    beam: float = 14.0,
+    max_active: int = 7000,
+    lattice: bool = False,
+    lattice_beam: float = 7.0,
+    bucket: int = 64,
+    batch_size: int = 16,
+) -> dict:
+    """Eval-set word decoding: batched TPU forward + sparse beam search +
+    WER (the `steps/nnet3/decode.sh` + scoring equivalent over the
+    graph_sparse HCLG).  Returns {"wer", "hyps", "lattices"?}."""
+    from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
+    from tdnnf_nas_tpu.decode.scoring import score_corpus
+
+    outs = forward_corpus(bundle_or_cfg, model_cfg, state, utts,
+                          bucket=bucket, batch_size=batch_size)
+    hyps, lats = [], []
+    for obs in outs:
+        res = beam_decode_sparse(obs, graph, acoustic_scale=acoustic_scale,
+                                 beam=beam, max_active=max_active,
+                                 lattice=lattice, lattice_beam=lattice_beam)
+        hyps.append(res.words)
+        if lattice:
+            lats.append(res.lattice)
+    refs = [list(u.words) for u in utts]
+    rep = score_corpus(refs, hyps)
+    rep["hyps"] = hyps
+    if lattice:
+        rep["lattices"] = lats
+    return rep
+
+
 def run_offset_search_pipeline(
     bundle: DataBundle,
     base_cfg: TdnnfModelConfig,

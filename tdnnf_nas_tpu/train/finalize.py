@@ -55,19 +55,46 @@ def combine_states(
     mode="average": uniform parameter average of all states
     (get_average_nnet_model, `common.py:144`), keeping the best state's
     BN/optimizer state.
+    mode="weighted": greedy objective-driven combination — start from the
+    best checkpoint and add others (objf order) to a uniform average while
+    the validation objective improves.  The same semantics modern
+    ``nnet3-chain-combine`` converges to (`train.py:572-585`): it never
+    returns a model worse on the validation objective than the best single
+    checkpoint.
     """
+    import dataclasses
+
     objfs = [float(valid_objf_fn(s)) for s in states]
     best = int(np.argmax(objfs))
     if mode == "best":
         return states[best], objfs
-    avg_params = jax.tree.map(
-        lambda *xs: sum(x.astype(jnp.float32) for x in xs) / len(xs),
-        *[s.params for s in states],
-    )
-    out = _with_bn(states[best], states[best].bn_state)
-    import dataclasses
 
-    return dataclasses.replace(out, params=avg_params), objfs
+    def avg(param_sets):
+        return jax.tree.map(
+            lambda *xs: sum(x.astype(jnp.float32) for x in xs) / len(xs),
+            *param_sets,
+        )
+
+    if mode == "average":
+        out = _with_bn(states[best], states[best].bn_state)
+        return dataclasses.replace(out, params=avg([s.params
+                                                    for s in states])), objfs
+
+    assert mode == "weighted", mode
+    order = list(np.argsort(objfs)[::-1])
+    chosen = [states[order[0]].params]
+    cur = states[order[0]]
+    cur_objf = objfs[order[0]]
+    for idx in order[1:]:
+        cand_params = avg(chosen + [states[idx].params])
+        cand = dataclasses.replace(_with_bn(states[best],
+                                            states[best].bn_state),
+                                   params=cand_params)
+        cand_objf = float(valid_objf_fn(cand))
+        if cand_objf > cur_objf:
+            chosen.append(states[idx].params)
+            cur, cur_objf = cand, cand_objf
+    return cur, objfs
 
 
 def shrink_params(params, shrink: float, skip_substrings=("lda", "output_")):

@@ -47,6 +47,11 @@ class TrainerConfig(Config):
     tau_min: float = 0.03
     flops_coef: float = 0.0  # bottleneck FLOPs penalty (add_flopsconstraint.py)
     alpha_entropy_coef: float = 0.0  # explicit version of the x5 entropy hack
+    # dropout schedule: ((data_fraction, proportion), ...) breakpoints,
+    # piecewise-linear in training fraction — `--trainer.dropout-schedule`
+    # ('0,0@0.20,0.5@0.50,0' style) in steps/libs/nnet3/train/common.py.
+    # Empty => the model config's constant dropout_proportion.
+    dropout_schedule: tuple = ()
 
 
 @jax.tree_util.register_pytree_node_class
@@ -110,6 +115,16 @@ def _tau_at(step, cfg: TrainerConfig, num_steps: int):
     return (1.0 - f) * (cfg.tau_max - cfg.tau_min) + cfg.tau_min
 
 
+def _dropout_at(step, cfg: TrainerConfig, num_steps: int):
+    """Piecewise-linear dropout proportion at the training fraction."""
+    if not cfg.dropout_schedule:
+        return None
+    xs = jnp.asarray([x for x, _ in cfg.dropout_schedule], jnp.float32)
+    ys = jnp.asarray([y for _, y in cfg.dropout_schedule], jnp.float32)
+    f = jnp.clip(step.astype(jnp.float32) / max(num_steps, 1), 0.0, 1.0)
+    return jnp.interp(f, xs, ys)
+
+
 def _apply_semiorth(params, model_cfg, supernet: bool):
     """Constraint step on all semi-orthogonal factors."""
     base_cfg = model_cfg.base if supernet else model_cfg
@@ -143,7 +158,8 @@ def make_train_step(
     _, alpha_update = make_optimizer(trainer_cfg.optimizer)
     num_steps = trainer_cfg.optimizer.num_steps
 
-    def loss_fn(params, alphas, bn_state, batch, key, dropout_key, tau):
+    def loss_fn(params, alphas, bn_state, batch, key, dropout_key, tau,
+                dropout_p):
         feats = batch["feats"]
         ivectors = batch.get("ivectors")
         sup: ChunkSupervision = batch["sup"]
@@ -153,11 +169,12 @@ def make_train_step(
                 mode=trainer_cfg.search_mode,
                 tau=tau, key=key, train=True,
                 bn_frozen=trainer_cfg.bn_frozen, dropout_key=dropout_key,
+                dropout_p=dropout_p,
             )
         else:
             chain_out, xent_out, new_bn = tdnnf_mod.apply_model(
                 model_cfg, params, bn_state, feats, ivectors, train=True,
-                dropout_key=dropout_key,
+                dropout_key=dropout_key, dropout_p=dropout_p,
             )
         loss, metrics = chain_objective(
             chain_out, xent_out, den, sup, trainer_cfg.objective
@@ -177,11 +194,13 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch, key):
         tau = _tau_at(state.step, trainer_cfg, num_steps)
+        dropout_p = _dropout_at(state.step, trainer_cfg, num_steps)
         step_key = jax.random.fold_in(key, state.step)
         k_model, k_dropout = jax.random.split(step_key)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
         (loss, (metrics, new_bn)), (g_params, g_alphas) = grad_fn(
-            state.params, state.alphas, state.bn_state, batch, k_model, k_dropout, tau
+            state.params, state.alphas, state.bn_state, batch, k_model,
+            k_dropout, tau, dropout_p
         )
         new_params, new_opt = state.params, state.opt_state
         if trainer_cfg.train_theta:
@@ -204,6 +223,8 @@ def make_train_step(
         if trainer_cfg.bn_frozen:
             new_bn = state.bn_state
         metrics["tau"] = tau
+        if dropout_p is not None:
+            metrics["dropout_p"] = dropout_p
         metrics["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(g_params)) + 1e-20
         )

@@ -82,3 +82,40 @@ def test_shrink_and_combine(world):
                             mode="average")
     np.testing.assert_allclose(
         np.asarray(avg.params["tdnn1"]["w"]), (w0 + w1) / 2, rtol=1e-6)
+
+
+def test_weighted_combine_never_worse_than_best(world):
+    """nnet3-chain-combine semantics: objective-driven greedy combination
+    returns >= the best single checkpoint on the validation objective, and
+    actually combines when averaging helps (noisy params around an
+    optimum)."""
+    import dataclasses as dc
+
+    bundle, model_cfg, state = world
+    rng = np.random.RandomState(0)
+    # objective: closeness of tdnn1/w to a fixed target — averaging two
+    # opposite-noise copies beats either one
+    target = np.asarray(state.params["tdnn1"]["w"]).astype(np.float64)
+    noise = rng.randn(*target.shape) * 0.1
+
+    def with_w(w):
+        p = dict(state.params)
+        layer = dict(p["tdnn1"])
+        layer["w"] = np.asarray(w, np.float32)
+        p["tdnn1"] = layer
+        return dc.replace(state, params=p)
+
+    def objf(s):
+        w = np.asarray(s.params["tdnn1"]["w"], np.float64)
+        return -float(np.sum((w - target) ** 2))
+
+    s_plus = with_w(target + noise)
+    s_minus = with_w(target - noise)
+    s_bad = with_w(target + 10 * noise)
+    best, objfs = combine_states([s_plus, s_minus, s_bad], objf, mode="best")
+    comb, _ = combine_states([s_plus, s_minus, s_bad], objf, mode="weighted")
+    assert objf(comb) >= objf(best)  # never worse than best checkpoint
+    # averaging the +/- pair recovers ~the target; the bad one is rejected
+    assert objf(comb) > objf(best) + 0.5 * abs(objf(best))
+    np.testing.assert_allclose(np.asarray(comb.params["tdnn1"]["w"]),
+                               target, atol=1e-5)

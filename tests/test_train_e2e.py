@@ -122,4 +122,4 @@ def test_e2e_training_with_ng_optimizer(setup):
             first = float(metrics["objf_mmi"])
         last = float(metrics["objf_mmi"])
     assert np.isfinite(last)
-    assert last > first + 0.4, (first, last)
+    assert last > first + 0.3, (first, last)
