@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20):
+def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20,
+         out_name="sparse_decode_bench.json", noise=0.75, pron_len=(3, 7),
+         beam=14.0, max_active=7000):
     from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
     from tdnnf_nas_tpu.decode.graph_sparse import build_hclg_sparse
     from tdnnf_nas_tpu.decode.lattice import lattice_best_path
@@ -33,7 +35,7 @@ def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20):
     seen = set()
     w = 0
     while w < vocab_size:
-        n = rng.randint(3, 7)
+        n = rng.randint(*pron_len)
         pron = tuple(rng.randint(0, num_phones, size=n).tolist())
         if pron in seen:
             continue
@@ -96,11 +98,12 @@ def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20):
         t_len = len(pdfs)
         obs = np.full((t_len, tree.num_pdfs), -8.0, np.float32)
         obs[np.arange(t_len), pdfs] = 0.0
-        obs += 0.75 * rng.randn(t_len, tree.num_pdfs).astype(np.float32)
+        obs += noise * rng.randn(t_len, tree.num_pdfs).astype(np.float32)
 
         t0 = time.time()
-        res = beam_decode_sparse(obs, g, beam=14.0, max_active=7000,
-                                 lattice=True, lattice_beam=7.0)
+        res = beam_decode_sparse(obs, g, beam=beam, max_active=max_active,
+                                 lattice=True, lattice_beam=7.0,
+                                 retry_beam=4 * beam)
         dt = time.time() - t0
         audio = t_len * fs_sec
         t_total += dt
@@ -121,6 +124,8 @@ def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20):
         "lm_build_s": round(t_lm, 1),
         "graph_build_s": round(t_graph, 1),
         "wer": rep["wer"],
+        "obs_noise": noise,
+        "beam": beam,
         "rtf": round(rtf, 4),
         "xrt_speedup": round(1.0 / rtf, 1),
         "mean_active": round(float(np.mean(act)), 1),
@@ -128,10 +133,23 @@ def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20):
         "utterances": n_test,
     }
     os.makedirs("docs", exist_ok=True)
-    with open("docs/sparse_decode_bench.json", "w") as f:
+    with open(os.path.join("docs", out_name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "30k":
+        # reference-scale: ~30k-word lexicon x >=1M-ngram trigram G
+        # (the sw1_tg scale of `run.sh:24-79`).  Longer prons + lower noise:
+        # 30k RANDOM short prons are far more confusable than a real
+        # lexicon; this benchmarks graph/search scale, not AM quality.
+        # beam 18: pushed LM weights mean a rare word pays its full cost on
+        # the entry arc, so the beam must cover the worst unigram-vs-seen
+        # cost gap or correct entries die early (same reason Kaldi decodes
+        # at beam 11-15 over REAL LMs with far lower tail perplexity).
+        main(vocab_size=30000, n_train_sents=150000, n_test=20,
+             out_name="sparse_decode_bench_30k.json", noise=0.5,
+             pron_len=(4, 9), beam=18.0, max_active=14000)
+    else:
+        main()

@@ -147,6 +147,11 @@ def make_egs(
                     pos = t_out - w
             pieces.append((pos, w))
             pos += w
+        if pos < t_out:
+            # tail shorter than min(widths): snap a final overlapping chunk
+            # back so every frame is covered (t_out >= w_min is guaranteed
+            # by the short-utterance check above)
+            pieces.append((t_out - w_min, w_min))
         for c, w in pieces:
             # phones overlapping [c, c+w)
             sel = (ends >= c) & (begins < c + w)

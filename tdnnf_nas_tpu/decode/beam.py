@@ -97,6 +97,10 @@ class BeamDecodeResult:
     num_active_mean: float = 0.0
 
 
+class BeamSearchDied(RuntimeError):
+    """No token survived a frame advance (beam too narrow for the graph)."""
+
+
 def beam_decode_sparse(
     obs_logprob: np.ndarray,  # [T, P]
     g: SparseDecodingGraph,
@@ -105,6 +109,34 @@ def beam_decode_sparse(
     max_active: int = 7000,
     lattice: bool = False,
     lattice_beam: float = 8.0,
+    retry_beam: float = 0.0,
+) -> BeamDecodeResult:
+    """Time-synchronous beam search over a SparseDecodingGraph.
+
+    ``retry_beam`` > ``beam`` enables Kaldi `decode.sh`-style adaptive
+    re-decode: if the search dies (no surviving token at some frame), the
+    whole utterance is re-decoded with the beam doubled, up to
+    ``retry_beam`` (ref steps/nnet3/decode.sh retry semantics).
+    """
+    b = beam
+    while True:
+        try:
+            return _beam_decode_once(obs_logprob, g, acoustic_scale, b,
+                                     max_active, lattice, lattice_beam)
+        except BeamSearchDied:
+            if b >= retry_beam:
+                raise
+            b = min(b * 2.0, retry_beam)
+
+
+def _beam_decode_once(
+    obs_logprob: np.ndarray,
+    g: SparseDecodingGraph,
+    acoustic_scale: float,
+    beam: float,
+    max_active: int,
+    lattice: bool,
+    lattice_beam: float,
 ) -> BeamDecodeResult:
     obs = np.asarray(obs_logprob, np.float32) * acoustic_scale
     t_len = obs.shape[0]
@@ -123,7 +155,7 @@ def beam_decode_sparse(
     ev_gs: List[np.ndarray] = []  # graph part of the transition
     ev_am: List[np.ndarray] = []  # acoustic part (dst frame)
 
-    def transition(src_states, src_scores, am_t, record: bool):
+    def transition(src_states, src_scores, am_t):
         """One frame advance incl. epsilon closure.  Returns candidate
         (dst_states, scores, prev_tok, word) BEFORE recombination, where
         scores include am of the destination."""
@@ -175,10 +207,9 @@ def beam_decode_sparse(
     scores = np.asarray([0.0], np.float32)
     n_active_total = 0
     for t in range(t_len):
-        dst, sc, prev, word, gs = transition(states, scores, obs[t],
-                                             record=lattice)
+        dst, sc, prev, word, gs = transition(states, scores, obs[t])
         if len(dst) == 0:
-            raise RuntimeError(f"beam search died at frame {t}")
+            raise BeamSearchDied(f"beam search died at frame {t}")
         udst, usc, sel = _recombine(dst, sc)
         # beam + max-active pruning
         cutoff = usc.max() - beam

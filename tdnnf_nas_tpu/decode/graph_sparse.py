@@ -14,6 +14,12 @@ explicit non-emitting junction states and backoff (epsilon) arcs:
     chain of w's pronunciation] -> junction(h'); the LM weight and the word
     label ride the FIRST arc (weight pushing, like Kaldi's), so beam
     pruning sees costs early,
+  * pronunciation chains are SHARED: a chain is keyed by its
+    (context-dependent pdf sequence, destination junction), so every
+    source context reaching the same (left-phones, word, dest) reuses one
+    chain — an exact state merge that keeps the state count near
+    O(#bigrams) instead of O(#ngrams) (the determinized-LG effect of
+    `utils/mkgraph.sh` without a generic determinizer),
   * backoff arcs junction(h) --bow--> junction(h[1:]) stay epsilon.
 
 Emitting states carry one pdf each (state-emitting convention shared with
@@ -154,6 +160,53 @@ def build_hclg_sparse(
         if h in ctx_states:
             by_ctx.setdefault(h, []).append(w)
 
+    # --- shared pronunciation chains ---------------------------------
+    # A chain's identity is fully determined by (pdf sequence, dest
+    # junction): the pdf sequence folds in the pronunciation AND the
+    # cross-word left context, and the destination junction of an n-gram
+    # arc (ctx, w) depends only on a suffix of (ctx, w).  Keying chains on
+    # (pdfs, j_dst) therefore shares one chain across every source context
+    # that reaches it — an exact WFST state merge (identical right
+    # languages) that cuts states by ~the #ngrams / #shared-chains ratio
+    # (the prefix-sharing demanded by `utils/mkgraph.sh`-scale graphs;
+    # each n-gram arc contributes ONE entry arc carrying its word label
+    # and pushed LM weight, as before).
+    pdfseq_cache: Dict[Tuple[int, Tuple[int, ...]], Tuple[int, ...]] = {}
+    chain_cache: Dict[Tuple[Tuple[int, ...], int], int] = {}
+
+    def pdf_seq(wid: int, left: Tuple[int, ...]) -> Tuple[int, ...]:
+        key = (wid, left)
+        seq = pdfseq_cache.get(key)
+        if seq is None:
+            out: List[int] = []
+            l = left
+            for p in lexicon.prons[wid]:
+                out.append(int(tree.forward_pdf_ctx(p, l)))
+                out.append(int(tree.self_loop_pdf(p)))
+                l = ((p,) + l)[:tctx]
+            seq = tuple(out)
+            pdfseq_cache[key] = seq
+        return seq
+
+    def chain_for(pdfs: Tuple[int, ...], j_dst: int) -> int:
+        nonlocal n_states
+        key = (pdfs, j_dst)
+        base = chain_cache.get(key)
+        if base is None:
+            base = n_states
+            n = len(pdfs) // 2  # phones
+            n_states += 2 * n
+            state_pdf.extend(pdfs)
+            for i in range(n):
+                e, l = base + 2 * i, base + 2 * i + 1
+                nxt = base + 2 * (i + 1) if i + 1 < n else j_dst
+                add_arc(e, l, ln_a)
+                add_arc(e, nxt, ln_na)
+                add_arc(l, l, ln_a)
+                add_arc(l, nxt, ln_na)
+            chain_cache[key] = base
+        return base
+
     for ctx, words in by_ctx.items():
         j_src = ctx_states[ctx]
         cross_left = left_of_ctx(ctx)
@@ -168,28 +221,11 @@ def build_hclg_sparse(
             wid = sym_to_id.get(wsym)
             if wid is None or wid not in lexicon.prons:
                 continue
-            pron = lexicon.prons[wid]
             j_dst = dest_ctx(ctx, wsym)
             lm_w = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
-            # chain states: enter_i, loop_i per phone
-            base = n_states
-            n_states += 2 * len(pron)
-            left = cross_left
-            for i, p in enumerate(pron):
-                e, l = base + 2 * i, base + 2 * i + 1
-                state_pdf.append(int(tree.forward_pdf_ctx(p, left)))
-                state_pdf.append(int(tree.self_loop_pdf(p)))
-                left = ((p,) + left)[:tctx]
-            # arcs: junction -> enter_1 (word label + LM weight, pushed)
+            base = chain_for(pdf_seq(wid, cross_left), j_dst)
+            # entry arc: junction -> chain (word label + LM weight, pushed)
             add_arc(j_src, base, lm_w, wid)
-            for i in range(len(pron)):
-                e, l = base + 2 * i, base + 2 * i + 1
-                for src in (e, l):
-                    add_arc(src, l, ln_a)
-                    if i + 1 < len(pron):
-                        add_arc(src, base + 2 * (i + 1), ln_na)
-                    else:
-                        add_arc(src, j_dst, ln_na)
 
     # backoff arcs
     for ctx, sid in ctx_states.items():

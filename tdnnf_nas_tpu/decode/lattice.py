@@ -495,12 +495,12 @@ def rescore_lattice_rnnlm(
                 if wd >= 0:
                     lp, nstate = scorer.advance(rstate, wd)
                     nsc = (sc + base + lm_scale * lp
-                           - _old_lm_logprob(old_lm, prev, wd))
+                           - _old_lm_logprob(old_lm, prev, wd, word_to_token))
                     nhist = (hist + (wd,))[-hist_len:]
                     nwords = words + (wd,)
                 elif d == lat.end:
                     nsc = (sc + base + lm_scale * scorer.final_logprob(rstate)
-                           - _old_lm_final(old_lm, prev))
+                           - _old_lm_final(old_lm, prev, word_to_token))
                     nstate, nhist, nwords = rstate, hist, words
                 else:
                     nsc, nstate, nhist, nwords = sc + base, rstate, hist, words

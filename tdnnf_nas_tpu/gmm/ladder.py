@@ -43,6 +43,12 @@ class GmmLadderConfig(Config):
     sat_em_iters: int = 6
     fmllr_iters: int = 5
     frame_subsampling_factor: int = 3
+    # EM-stage training subset (0 = use every utterance).  Kaldi's run.sh
+    # trains mono/tri1 on 30k-short/100k subsets and only ALIGNS the full
+    # set with the final models (`run.sh:139-257`); this is the same
+    # speed/statistical trade at corpus scale.  Selection is stratified
+    # round-robin so every speaker keeps utterances in the subset.
+    train_subset: int = 0
 
 
 @dataclasses.dataclass
@@ -94,72 +100,105 @@ def run_gmm_ladder(
     speakers = list(speakers) if speakers is not None else [0] * n
     d_in = feats_list[0].shape[1]
 
+    # EM-stage training subset (see GmmLadderConfig.train_subset): round-
+    # robin over speakers so every speaker has fMLLR statistics
+    if cfg.train_subset and cfg.train_subset < n:
+        by_spk: dict = {}
+        for i in range(n):
+            by_spk.setdefault(speakers[i], []).append(i)
+        sub: List[int] = []
+        queues = list(by_spk.values())
+        r = 0
+        while len(sub) < cfg.train_subset:
+            q = queues[r % len(queues)]
+            if q:
+                sub.append(q.pop(0))
+            r += 1
+        sub.sort()
+    else:
+        sub = list(range(n))
+    sub_feats = [feats_list[i] for i in sub]
+    sub_phones = [phone_seqs[i] for i in sub]
+
     # ---- stage 1: monophone flat-start EM -------------------------------
-    am, paths, mono_ll = train_mono(feats_list, phone_seqs, num_phones,
+    am, paths, mono_ll = train_mono(sub_feats, sub_phones, num_phones,
                                     cfg.mono)
 
     # ---- stage 1.5: context-dependent tied-state GMM (tri1/tri2) --------
     if cfg.tri_leaves > 0:
         am, paths, _ = train_tri(
-            feats_list, phone_seqs, num_phones,
+            sub_feats, sub_phones, num_phones,
             dataclasses.replace(cfg.mono, num_iters=cfg.tri_em_iters),
             am, cfg.tri_leaves, min_count=cfg.tri_min_count,
         )
 
     # ---- stage 2: LDA + MLLT on spliced features (tri3) -----------------
     spliced = [splice_frames(f, cfg.splice_context) for f in feats_list]
-    classes = _state_classes(am, phone_seqs, paths)
+    sub_spliced = [spliced[i] for i in sub]
+    classes = _state_classes(am, sub_phones, paths)
     num_classes = len(am.gmms)
     lda_dim = cfg.lda_dim or d_in
-    lda = estimate_lda(spliced, classes, num_classes, lda_dim)
-    lda_feats = [x @ lda.T for x in spliced]
+    lda = estimate_lda(sub_spliced, classes, num_classes, lda_dim)
+    lda_feats = [x @ lda.T for x in sub_spliced]
     mllt, mllt_aux = estimate_mllt(lda_feats, classes, num_classes,
                                    cfg.mllt_iters)
     transform = mllt @ lda  # [lda_dim, spliced_D]
     tr_feats = [x @ transform.T for x in spliced]
+    sub_tr = [tr_feats[i] for i in sub]
     # retrain the GMMs in the transformed space (warm-started alignments),
     # re-tying the context tree there like Kaldi's per-stage tree rebuild
     am2, paths, _ = train_mono(
-        tr_feats, phone_seqs, num_phones,
+        sub_tr, sub_phones, num_phones,
         dataclasses.replace(cfg.mono, num_iters=cfg.lda_mllt_em_iters),
     )
     if cfg.tri_leaves > 0:
         am2, paths, _ = train_tri(
-            tr_feats, phone_seqs, num_phones,
+            sub_tr, sub_phones, num_phones,
             dataclasses.replace(cfg.mono, num_iters=cfg.tri_em_iters),
             am2, cfg.tri_leaves, min_count=cfg.tri_min_count,
         )
 
     # ---- stage 3: SAT / per-speaker fMLLR (tri4) ------------------------
     spk_ids = sorted(set(speakers))
-    classes = _state_classes(am2, phone_seqs, paths)
+    classes = _state_classes(am2, sub_phones, paths)
+    sub_of = {u: j for j, u in enumerate(sub)}
     fmllr = {}
     base_ll, adapt_ll = 0.0, 0.0
     frames = 0
     for spk in spk_ids:
-        idx = [i for i in range(n) if speakers[i] == spk]
+        idx = [i for i in sub if speakers[i] == spk]
+        if not idx:  # speaker absent from the subset: identity transform
+            d = tr_feats[0].shape[1]
+            fmllr[spk] = np.concatenate(
+                [np.eye(d), np.zeros((d, 1))], axis=1)
+            continue
         mus, ivs = [], []
         for i in idx:
-            mu, iv = _frame_gaussians(am2, tr_feats[i], classes[i])
+            mu, iv = _frame_gaussians(am2, tr_feats[i], classes[sub_of[i]])
             mus.append(mu)
             ivs.append(iv)
         w = estimate_fmllr([tr_feats[i] for i in idx], mus, ivs,
                            cfg.fmllr_iters)
         fmllr[spk] = w
     adapted = [apply_fmllr(tr_feats[i], fmllr[speakers[i]]) for i in range(n)]
-    # retrain on adapted features (SAT) and final alignment pass; the tied
-    # context tree carries into tri4 via warm-started EM from am2
-    am3, paths, _ = train_mono(
-        adapted, phone_seqs, num_phones,
+    # retrain on adapted features (SAT); the tied context tree carries into
+    # tri4 via warm-started EM from am2
+    am3, _, _ = train_mono(
+        [adapted[i] for i in sub], sub_phones, num_phones,
         dataclasses.replace(cfg.mono, num_iters=cfg.sat_em_iters),
         init_am=am2,
     )
-    for i in range(n):
+    # fMLLR-gain diagnostic on the training subset
+    for i in sub:
         _, s0 = viterbi_align_gmm(tr_feats[i], phone_seqs[i], am2)
         _, s1 = viterbi_align_gmm(adapted[i], phone_seqs[i], am3)
         base_ll += s0
         adapt_ll += s1
         frames += tr_feats[i].shape[0]
+    # final alignment pass over the FULL corpus with the SAT model
+    # (`Prepare_NAS_data.sh:66-75` aligns everything with tri4)
+    paths = [viterbi_align_gmm(adapted[i], phone_seqs[i], am3)[0]
+             for i in range(n)]
 
     # ---- alignments at the output frame rate ----------------------------
     fs = cfg.frame_subsampling_factor

@@ -79,27 +79,45 @@ def prefetch_to_device(it, size: int = 2, mesh: Mesh = None):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=size)
     err = []
+    stop = threading.Event()
 
     def put(x):
         if mesh is not None:
             return put_batch(x, mesh)
         return jax.tree.map(jnp.asarray, x)
 
+    def _enqueue(item) -> bool:
+        """put with a stop-flag poll so the worker exits (and stops pinning
+        staged device buffers) if the consumer abandons the generator."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for b in it:
-                q.put(put(b))
+                if not _enqueue(put(b)):
+                    return
         except Exception as e:  # surface in the consumer
             err.append(e)
         finally:
-            q.put(None)
+            _enqueue(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        b = q.get()
-        if b is None:
+    try:
+        while True:
             if err:
                 raise err[0]
-            return
-        yield b
+            b = q.get()
+            if b is None:
+                if err:
+                    raise err[0]
+                return
+            yield b
+    finally:
+        stop.set()

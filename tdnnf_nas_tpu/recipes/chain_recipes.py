@@ -298,6 +298,17 @@ def forward_corpus(
     return outs
 
 
+_DECODE_SHARED = None  # (graph, outs, kwargs) for forked decode workers
+
+
+def _decode_worker(i: int):
+    from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
+
+    graph, outs, kw = _DECODE_SHARED
+    res = beam_decode_sparse(outs[i], graph, **kw)
+    return i, res.words, (res.lattice if kw["lattice"] else None)
+
+
 def decode_corpus_words(
     bundle_or_cfg,
     model_cfg,
@@ -311,23 +322,47 @@ def decode_corpus_words(
     lattice_beam: float = 7.0,
     bucket: int = 64,
     batch_size: int = 16,
+    num_workers: int = 0,
+    retry_beam: float = 0.0,
 ) -> dict:
     """Eval-set word decoding: batched TPU forward + sparse beam search +
     WER (the `steps/nnet3/decode.sh` + scoring equivalent over the
-    graph_sparse HCLG).  Returns {"wer", "hyps", "lattices"?}."""
+    graph_sparse HCLG).  Returns {"wer", "hyps", "lattices"?}.
+
+    ``num_workers`` > 0 fans the per-utterance beam searches out over
+    forked host processes (Kaldi's decode.sh --nj split; the TPU forward
+    stays batched in the parent — workers touch only numpy).  A died beam
+    is re-decoded up to ``retry_beam`` (default 4x ``beam``)."""
     from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
     from tdnnf_nas_tpu.decode.scoring import score_corpus
 
     outs = forward_corpus(bundle_or_cfg, model_cfg, state, utts,
                           bucket=bucket, batch_size=batch_size)
-    hyps, lats = [], []
-    for obs in outs:
-        res = beam_decode_sparse(obs, graph, acoustic_scale=acoustic_scale,
-                                 beam=beam, max_active=max_active,
-                                 lattice=lattice, lattice_beam=lattice_beam)
-        hyps.append(res.words)
-        if lattice:
-            lats.append(res.lattice)
+    kw = dict(acoustic_scale=acoustic_scale, beam=beam,
+              max_active=max_active, lattice=lattice,
+              lattice_beam=lattice_beam,
+              retry_beam=retry_beam if retry_beam else beam * 4.0)
+    if num_workers and len(outs) > 1:
+        import multiprocessing as mp
+
+        global _DECODE_SHARED
+        _DECODE_SHARED = (graph, outs, kw)
+        try:
+            ctx = mp.get_context("fork")
+            with ctx.Pool(num_workers) as pool:
+                results = pool.map(_decode_worker, range(len(outs)),
+                                   chunksize=1)
+        finally:
+            _DECODE_SHARED = None
+        results.sort(key=lambda r: r[0])
+        hyps = [r[1] for r in results]
+        lats = [r[2] for r in results]
+    else:
+        hyps, lats = [], []
+        for obs in outs:
+            res = beam_decode_sparse(obs, graph, **kw)
+            hyps.append(res.words)
+            lats.append(res.lattice if lattice else None)
     refs = [list(u.words) for u in utts]
     rep = score_corpus(refs, hyps)
     rep["hyps"] = hyps

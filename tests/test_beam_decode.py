@@ -102,3 +102,53 @@ def test_tighter_beam_still_accurate_with_clean_obs(setup):
         hyps.append(res.words)
     rep = score_corpus(refs, hyps)
     assert rep["wer"] < 0.05, rep
+
+
+def test_adaptive_beam_retry(setup, monkeypatch):
+    """retry_beam re-decodes with a doubled beam on search death (Kaldi
+    decode.sh retry semantics); without it the death propagates."""
+    import tdnnf_nas_tpu.decode.beam as B
+
+    cfg, utts, word_seqs, tree, g = setup
+    obs = _oracle_obs(utts[0], tree)
+    calls = []
+    real = B._beam_decode_once
+
+    def flaky(o, gg, ac, beam, *a, **k):
+        calls.append(beam)
+        if beam < 30.0:
+            raise B.BeamSearchDied("forced death")
+        return real(o, gg, ac, beam, *a, **k)
+
+    monkeypatch.setattr(B, "_beam_decode_once", flaky)
+    res = B.beam_decode_sparse(obs, g, beam=8.0, retry_beam=32.0)
+    assert calls == [8.0, 16.0, 32.0]
+    assert res.words == utts[0].words
+    calls.clear()
+    with pytest.raises(B.BeamSearchDied):
+        B.beam_decode_sparse(obs, g, beam=8.0)
+    assert calls == [8.0]
+
+
+def test_parallel_decode_workers_match_serial(setup):
+    """Forked per-utterance decode workers (decode.sh --nj equivalent)
+    return exactly the serial results."""
+    import multiprocessing as mp
+
+    from tdnnf_nas_tpu.recipes import chain_recipes as cr
+
+    cfg, utts, word_seqs, tree, g = setup
+    outs = [_oracle_obs(u, tree) for u in utts[:6]]
+    kw = dict(acoustic_scale=1.0, beam=14.0, max_active=7000, lattice=True,
+              lattice_beam=7.0, retry_beam=56.0)
+    cr._DECODE_SHARED = (g, outs, kw)
+    try:
+        with mp.get_context("fork").Pool(2) as pool:
+            res = pool.map(cr._decode_worker, range(len(outs)), chunksize=1)
+    finally:
+        cr._DECODE_SHARED = None
+    res.sort(key=lambda r: r[0])
+    for i, words, lat in res:
+        ser = beam_decode_sparse(outs[i], g, **kw)
+        assert words == ser.words
+        assert lat is not None and lat.num_arcs == ser.lattice.num_arcs

@@ -245,3 +245,26 @@ def test_ladder_with_tri_stages():
     for u, b in zip(utts, res.begins):
         errs += [abs(bi - bt) for bi, bt in zip(b, u.begins)]
     assert np.mean(errs) < 2.0, np.mean(errs)
+
+
+def test_ladder_train_subset_aligns_full_corpus(corpus):
+    """train_subset: EM stages run on a stratified subset, alignments are
+    produced for EVERY utterance by the final SAT model (Kaldi's run.sh
+    trains mono/tri on 30k-short/100k subsets and aligns the full set)."""
+    cfg, utts, phone_seqs = corpus
+    speakers = [i % 2 for i in range(len(utts))]
+    res = run_gmm_ladder(
+        [u.feats for u in utts], phone_seqs, cfg.num_phones,
+        GmmLadderConfig(mono=MonoHmmConfig(num_iters=6, max_mix=2,
+                                           mix_up_iters=(3,)),
+                        splice_context=2, lda_dim=8,
+                        lda_mllt_em_iters=5, sat_em_iters=4,
+                        train_subset=len(utts) // 2),
+        speakers=speakers,
+    )
+    assert len(res.begins) == len(utts)
+    assert len(res.fmllr) == 2  # both speakers covered (stratified)
+    errs = []
+    for u, b in zip(utts, res.begins):
+        errs += [abs(bi - bt) for bi, bt in zip(b, u.begins)]
+    assert np.mean(errs) < 2.5, np.mean(errs)

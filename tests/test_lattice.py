@@ -205,3 +205,47 @@ def test_lattice_determinize(world):
         k = tuple(words)
         if k in best_raw:
             np.testing.assert_allclose(sc, best_raw[k], rtol=1e-5)
+
+
+class _ZeroScorer:
+    """RNNLM stand-in contributing nothing — isolates the old-LM removal."""
+
+    def initial_state(self):
+        return None
+
+    def advance(self, state, word):
+        return 0.0, None
+
+    def final_logprob(self, state):
+        return 0.0
+
+
+def test_lattice_rnnlm_rescoring_nonstr_word_symbols():
+    """ADVICE r2 (high): with an NGramLM old LM and non-str word symbols
+    the old-LM removal must go through word_to_token — otherwise every
+    lookup misses vocab and adds the unknown-word floor to each path."""
+    import math
+
+    from tdnnf_nas_tpu.lm.ngram import BOS, EOS
+
+    dg, wlm, obs = _homophone_setup()
+    lat = generate_lattice(obs, dg, beam=1e9, lattice_beam=30.0)
+    wtt = lambda w: f"w{w}"
+    texts = [[wtt(1), wtt(2)]] * 20 + [[wtt(0)], [wtt(2), wtt(1)]]
+    old = estimate_ngram_lm(texts, order=2)
+    out = rescore_lattice_rnnlm(lat, old, _ZeroScorer(), lm_scale=1.0,
+                                word_to_token=wtt, n=1)
+    words, sc = out[0]
+    # expected: lattice base score of that word sequence minus the old-LM
+    # logprob of the sequence in TOKEN space
+    base = {tuple(w): s for w, s in lattice_nbest(lat, n=50)[::-1]}
+    ln10 = math.log(10.0)
+    ctx, old_lp = (BOS,), 0.0
+    for w in words:
+        old_lp += old.log_prob_word(ctx, wtt(w)) * ln10
+        ctx = (ctx + (wtt(w),))[-(old.order - 1):]
+    old_lp += old.log_prob_word(ctx, EOS) * ln10
+    expected = base[tuple(words)] - old_lp
+    np.testing.assert_allclose(sc, expected, atol=1e-3)
+    # regression guard: a str() lookup would hit the -99 unknown floor
+    assert abs(sc - expected) < 50.0

@@ -88,3 +88,25 @@ def test_mixed_chunk_widths_train():
     # still learns across bucketed shapes
     assert np.mean(objs[-8:]) > np.mean(objs[:8]) + 0.1, (
         np.mean(objs[:8]), np.mean(objs[-8:]))
+
+
+def test_chunk_tiling_covers_tails():
+    """Utterance tails shorter than min(width) get a snapped-back
+    overlapping final chunk — full frame coverage, so the chunk count per
+    utterance is exactly ceil(t_out / w) (ADVICE r2: the rotating tiler
+    silently dropped tails without counting them)."""
+    corpus_cfg = SyntheticCorpusConfig(num_utts=24, num_phones=5, feat_dim=10,
+                                       min_phones=8, max_phones=20)
+    utts, phone_seqs, tree, topo = make_synthetic_corpus(corpus_cfg)
+    lm = estimate_phone_lm(phone_seqs, 5)
+    den = build_denominator_graph(lm, topo, tree)
+    w = 14
+    egs_cfg = EgsConfig(chunk_width=w, left_context=4, right_context=4,
+                        max_phones_per_chunk=999)
+    stats = {}
+    make_egs(utts, lm, topo, tree, egs_cfg,
+             den_init_fn=den_init_lookup(den, 5), stats=stats)
+    t_outs = [len(u.pdf_align) for u in utts]
+    assert any(t % w for t in t_outs if t >= w)  # tails actually exercised
+    expected = sum(-(-t // w) for t in t_outs if t >= w)
+    assert stats["num_chunks"] + stats["dropped_chunks"] == expected
