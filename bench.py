@@ -1,10 +1,18 @@
 """Benchmark: LF-MMI training throughput of the flagship TDNN-F 7q model.
 
 Measures audio-seconds of training data processed per wall-clock second on
-one chip, for the full jitted train step (forward + chain objective with a
-Switchboard-scale denominator graph + backward + optimizer + semi-orth
-constraint) at the reference's minibatch shape: 64 chunks x 150 input
-frames (1.5 s audio each — `run_tdnn_7q_fbk_40_manual.sh:186-188`).
+one chip for the full jitted train step (forward + chain objective +
+backward + optimizer + semi-orth constraint) at the reference's minibatch
+shape: 64 chunks x 150 input frames (`run_tdnn_7q_fbk_40_manual.sh:186-188`).
+
+The HEADLINE number trains against the PRODUCTION denominator — the
+composed 4-gram phone-LM x left-2 triphone clustered tree (6034 pdfs, the
+reference's tri5_7d scale, `run_tdnn_7q_fbk_40_manual.sh:26`; Kaldi always
+trains against the 4-gram den, `steps/nnet3/chain/train.py:332-338`) —
+with the input pipeline IN THE LOOP: distinct batches streamed from a
+binary egs shard by the C++ prefetching loader and staged on device by a
+background thread.  Device-only (batch resident) and the easier biphone
+den are reported as secondary lines.
 
 Baseline: the reference trains 3 epochs x 858 h (286 h x 3-way speed
 perturb) in 30 h on one GPU (`img/search_result.png` row 1, BASELINE.md)
@@ -14,6 +22,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,151 +31,199 @@ import numpy as np
 KALDI_GPU_AUDIO_SEC_PER_S = 85.8  # 2574 h audio / 30 h wall, 1 GPU
 
 
+def _measure(step, state, batches, key, n_steps, prefetch=0):
+    """Time n_steps of `step` over `batches` (cycled); returns (dt, state, m)."""
+    import jax
+
+    from tdnnf_nas_tpu.parallel import prefetch_to_device
+
+    def cycle(n):
+        i = 0
+        while i < n:
+            yield batches[i % len(batches)]
+            i += 1
+
+    it = prefetch_to_device(cycle(n_steps), size=3) if prefetch else \
+        iter(batches * (n_steps // len(batches) + 1))
+    t0 = time.perf_counter()
+    m = None
+    for i, b in enumerate(it):
+        if i >= n_steps:
+            break
+        state, m = step(state, b, key)
+    jax.block_until_ready(m)
+    return time.perf_counter() - t0, state, m
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from tdnnf_nas_tpu.data import (
-        SyntheticCorpusConfig, make_synthetic_corpus, EgsConfig, make_egs,
-        batch_iterator,
-    )
-    from tdnnf_nas_tpu.graphs import (
-        estimate_phone_lm, build_denominator_graph, den_init_lookup,
-    )
+    from tdnnf_nas_tpu.data import (SyntheticCorpusConfig, batch_iterator,
+                                    make_synthetic_corpus)
+    from tdnnf_nas_tpu.graphs import (accumulate_triphone_stats,
+                                      build_clustered_triphone_tree,
+                                      build_denominator_graph,
+                                      estimate_phone_lm)
     from tdnnf_nas_tpu.graphs.topology import BiphoneTree
-    from tdnnf_nas_tpu.models import TdnnfModelConfig, model_context
+    from tdnnf_nas_tpu.models import TdnnfModelConfig, count_params
     from tdnnf_nas_tpu.ops.fwdbwd import DenGraphArrays
-    from tdnnf_nas_tpu.train import (
-        TrainerConfig, OptimizerConfig, init_train_state, make_train_step,
-    )
-
-    import os
+    from tdnnf_nas_tpu.recipes.chain_recipes import prepare_data
+    from tdnnf_nas_tpu.train import (ChainObjectiveConfig, OptimizerConfig,
+                                     TrainerConfig, init_train_state,
+                                     make_train_step)
 
     batch_size = int(os.environ.get("BENCH_BATCH", "64"))
-    chunk_width = 50  # output frames; 150 input frames = 1.5 s at 8 kHz
+    chunk_width = 50  # output frames; 150 input frames = 1.5 s at 10 ms
     num_phones = 46  # Switchboard phone-set size
+    audio_sec_per_step = batch_size * chunk_width * 3 * 0.010  # 96 s
 
-    # Switchboard-scale corpus stats + a biphone tree sized to the reference's
-    # 6034 pdfs (`run_tdnn_7q_fbk_40_manual.sh:26`)
+    # ---- production setup: 46 phones, ~6034-pdf clustered triphone tree,
+    # pruned 4-gram den phone LM (the docs/triphone_bench.json config) ----
     corpus_cfg = SyntheticCorpusConfig(
-        num_utts=max(48, batch_size), num_phones=num_phones, feat_dim=40,
-        min_phones=10, max_phones=30, mean_dur=4.0, seed=0,
-    )
+        num_utts=768, num_phones=num_phones, feat_dim=40, min_phones=10,
+        max_phones=30, mean_dur=4.0, context_shift=1.0, seed=0)
     utts, phone_seqs, _, topo = make_synthetic_corpus(corpus_cfg)
-    tree = BiphoneTree(num_phones, num_leaves=6034 - num_phones)
-    lm = estimate_phone_lm(phone_seqs, num_phones)
-    den = build_denominator_graph(lm, topo, tree)
+    stats = accumulate_triphone_stats(
+        [u.feats for u in utts], phone_seqs, [u.begins for u in utts],
+        num_phones, corpus_cfg.frame_subsampling_factor)
+    tree = build_clustered_triphone_tree(stats, num_leaves=6034 - num_phones)
+    bundle = prepare_data(utts, phone_seqs, tree, topo, num_phones,
+                          phone_lm_order=4, num_extra_lm_states=2000)
 
     model_cfg = TdnnfModelConfig(num_pdfs=tree.num_pdfs)  # 7q flagship
-    left, right = model_context(model_cfg)
-    egs_cfg = EgsConfig(
-        chunk_width=chunk_width, left_context=left, right_context=right,
-        max_phones_per_chunk=40,
-    )
-    chunks = make_egs(utts, lm, topo, tree, egs_cfg,
-                      den_init_fn=den_init_lookup(den, num_phones))
-    # emission dims differ (corpus emits CI pdf means); features are random
-    # either way for throughput purposes
-    assert len(chunks) >= batch_size, len(chunks)
-
-    from tdnnf_nas_tpu.train import ChainObjectiveConfig
-
     trainer_cfg = TrainerConfig(
-        objective=ChainObjectiveConfig(pallas_den=True),
+        objective=ChainObjectiveConfig(),
         optimizer=OptimizerConfig(kind="adam", lr_initial=1e-3, lr_final=1e-4,
-                                  num_steps=100000),
-    )
+                                  num_steps=100000))
+    chunks = bundle.egs(model_cfg, chunk_width=chunk_width,
+                        max_phones_per_chunk=40)
     state = init_train_state(model_cfg, trainer_cfg, jax.random.PRNGKey(0))
-    step = make_train_step(model_cfg, trainer_cfg, DenGraphArrays.from_graph(den))
-
-    it = batch_iterator(chunks, batch_size=batch_size,
-                        rng=np.random.RandomState(0), drop_last=False)
-    batch = next(it)
-    # ivectors for the flagship config
-    batch["ivectors"] = np.zeros((batch["feats"].shape[0], model_cfg.ivector_dim),
-                                 np.float32)
-    batch = jax.tree.map(jnp.asarray, batch)
+    step = make_train_step(model_cfg, trainer_cfg, bundle.den_arrays)
     key = jax.random.PRNGKey(7)
+    rng = np.random.RandomState(3)
 
-    # warmup/compile
+    def with_iv(b):
+        b["ivectors"] = rng.randn(b["feats"].shape[0],
+                                  model_cfg.ivector_dim).astype(np.float32)
+        return b
+
+    host_batches = []
+    for i, b in enumerate(batch_iterator(chunks, batch_size=batch_size,
+                                         rng=np.random.RandomState(0),
+                                         drop_last=False)):
+        if i >= 8 or b["feats"].shape[0] != batch_size:
+            break
+        host_batches.append(with_iv(b))
+
+    # warmup/compile on a device-resident batch
+    dev_batch = jax.tree.map(jnp.asarray, host_batches[0])
     for _ in range(3):
-        state, metrics = step(state, batch, key)
+        state, metrics = step(state, dev_batch, key)
     jax.block_until_ready(metrics)
 
-    n_steps = 30  # enough to average out the remote-dispatch jitter
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-
-    audio_sec_per_step = batch_size * chunk_width * 3 * 0.010  # 96 s
-    value = n_steps * audio_sec_per_step / dt
-    print(json.dumps({
-        "metric": "lfmmi_train_throughput",
-        "value": round(value, 2),
-        "unit": "audio_sec/s/chip",
-        "vs_baseline": round(value / KALDI_GPU_AUDIO_SEC_PER_S, 2),
-    }))
-    print(f"# step={dt / n_steps * 1000:.1f} ms  objf_mmi={float(metrics['objf_mmi']):.4f}  "
-          f"backend={jax.default_backend()}", file=sys.stderr)
-
-    # ---- sustained throughput: native shard loader streaming DISTINCT
-    # batches through the same step (input pipeline in the loop; the
-    # device-only number above excludes host egs streaming) ----
+    # ---- headline: production den, input pipeline in the loop ----------
+    # distinct batches streamed disk -> C++ parse/shuffle/prefetch ->
+    # background device staging; falls back to host-RAM batches if the
+    # native library is unavailable
+    n_steps = 30
+    loader = None
     try:
         import tempfile
 
         from tdnnf_nas_tpu.data.egs_file import (NativeEgsLoader,
                                                  write_egs_file)
+        from tdnnf_nas_tpu.parallel import prefetch_to_device
 
-        big_cfg = corpus_cfg.replace(num_utts=480, seed=1)
-        utts2, phone_seqs2, _, _ = make_synthetic_corpus(big_cfg)
-        chunks2 = make_egs(utts2, lm, topo, tree, egs_cfg,
-                           den_init_fn=den_init_lookup(den, num_phones))
-        with tempfile.TemporaryDirectory() as td:
-            shard = os.path.join(td, "egs.tegs")
-            write_egs_file(chunks2, shard)
-            iv = np.zeros((batch_size, model_cfg.ivector_dim), np.float32)
+        td = tempfile.TemporaryDirectory()
+        shard = os.path.join(td.name, "egs.tegs")
+        write_egs_file(chunks, shard)
+        loader = NativeEgsLoader(shard, batch_size, queue_depth=6, seed=0)
 
-            def stream(n):
-                count = 0
-                while count < n:
-                    loader = NativeEgsLoader(shard, batch_size, queue_depth=4,
-                                             seed=count)
-                    for b in loader:
-                        if count >= n:
-                            break
-                        if b["feats"].shape[0] != batch_size:
-                            continue
-                        b["ivectors"] = iv
-                        yield b
-                        count += 1
-                    loader.close()
+        def stream(n):
+            count = 0
+            for b in loader:
+                if count >= n:
+                    break
+                yield with_iv(b)
+                count += 1
 
-            from tdnnf_nas_tpu.parallel import prefetch_to_device
+        # warm the loader-shaped jit variant
+        for b in prefetch_to_device(stream(2), size=2):
+            state, m_sus = step(state, b, key)
+        jax.block_until_ready(m_sus)
+        t0 = time.perf_counter()
+        for b in prefetch_to_device(stream(n_steps), size=3):
+            state, m_sus = step(state, b, key)
+        jax.block_until_ready(m_sus)
+        dt_sus = time.perf_counter() - t0
+    except Exception as e:
+        print(f"# native loader unavailable ({e!r}); host-RAM stream",
+              file=sys.stderr)
+        dt_sus, state, m_sus = _measure(step, state, host_batches, key,
+                                        n_steps, prefetch=3)
+    finally:
+        if loader is not None:
+            loader.close()
+    sustained = n_steps * audio_sec_per_step / dt_sus
 
-            st = state
-            for b in prefetch_to_device(stream(3), size=2):
-                st, m2 = step(st, b, key)  # warm the loader-shaped variant
-            jax.block_until_ready(m2)
-            t0 = time.perf_counter()
-            n_sus = 30
-            for b in prefetch_to_device(stream(n_sus), size=3):
-                st, m2 = step(st, b, key)
-            jax.block_until_ready(m2)
-            dt_sus = time.perf_counter() - t0
-        sus = n_sus * audio_sec_per_step / dt_sus
-        print(f"# sustained(loader-in-loop)={sus:.0f} audio_sec/s/chip  "
-              f"step={dt_sus / n_sus * 1000:.1f} ms  "
-              f"device_only={value:.0f}", file=sys.stderr)
-        with open("docs/bench_sustained.json", "w") as f:
-            json.dump({"device_only": round(value, 2),
-                       "sustained_loader": round(sus, 2),
-                       "vs_baseline_sustained":
-                           round(sus / KALDI_GPU_AUDIO_SEC_PER_S, 2)}, f)
+    # device-only secondary (batch resident on device)
+    dt_dev, state, m_dev = _measure(step, state, [dev_batch], key, n_steps)
+    device_only = n_steps * audio_sec_per_step / dt_dev
+
+    print(json.dumps({
+        "metric": "lfmmi_train_throughput_4gram_triphone_den",
+        "value": round(sustained, 2),
+        "unit": "audio_sec/s/chip",
+        "vs_baseline": round(sustained / KALDI_GPU_AUDIO_SEC_PER_S, 2),
+    }))
+    print(f"# production den (S={bundle.den_arrays.num_states}, "
+          f"pdfs={tree.num_pdfs}): sustained(loader-in-loop)={sustained:.0f} "
+          f"({dt_sus / n_steps * 1e3:.1f} ms/step)  device_only="
+          f"{device_only:.0f} ({dt_dev / n_steps * 1e3:.1f} ms/step)  "
+          f"objf_mmi={float(m_sus['objf_mmi']):.4f}  "
+          f"params={count_params(state.params):,}  "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+    out = {
+        "den": "composed 4-gram x left-2 triphone (factored kernel)",
+        "den_states": int(bundle.den_arrays.num_states),
+        "num_pdfs": int(tree.num_pdfs),
+        "sustained_loader": round(sustained, 2),
+        "device_only": round(device_only, 2),
+        "vs_baseline_sustained": round(sustained / KALDI_GPU_AUDIO_SEC_PER_S,
+                                       2),
+        "batch": batch_size,
+        "chunk_width": chunk_width,
+    }
+
+    # ---- secondary: biphone den (the round-1/2 headline config) --------
+    try:
+        tree2 = BiphoneTree(num_phones, num_leaves=6034 - num_phones)
+        lm2 = estimate_phone_lm(phone_seqs, num_phones)
+        den2 = build_denominator_graph(lm2, topo, tree2)
+        tc2 = trainer_cfg.replace(objective=ChainObjectiveConfig(
+            pallas_den=True))
+        mc2 = model_cfg.replace(num_pdfs=tree2.num_pdfs)
+        st2 = init_train_state(mc2, tc2, jax.random.PRNGKey(0))
+        step2 = make_train_step(mc2, tc2, DenGraphArrays.from_graph(den2))
+        b2 = {k: v for k, v in host_batches[0].items()}
+        dev2 = jax.tree.map(jnp.asarray, b2)
+        for _ in range(3):
+            st2, m2 = step2(st2, dev2, key)
+        jax.block_until_ready(m2)
+        dt2, st2, m2 = _measure(step2, st2, [dev2], key, n_steps)
+        biphone = n_steps * audio_sec_per_step / dt2
+        print(f"# biphone den (S={den2.num_states}, Pallas fused): "
+              f"device_only={biphone:.0f} audio_sec/s/chip "
+              f"({dt2 / n_steps * 1e3:.1f} ms/step)", file=sys.stderr)
+        out["biphone_device_only"] = round(biphone, 2)
     except Exception as e:  # keep the primary metric robust
-        print(f"# sustained bench skipped: {e!r}", file=sys.stderr)
+        print(f"# biphone secondary skipped: {e!r}", file=sys.stderr)
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/bench_sustained.json", "w") as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -50,7 +50,7 @@ struct Batch {
     std::vector<int32_t> pdf;
     std::vector<float> init;
     std::vector<float> final_w;
-    std::vector<float> mask;
+    std::vector<uint8_t> mask;
 };
 
 struct Loader {
@@ -88,10 +88,8 @@ struct Loader {
             return false;
         if (fread(b->final_w.data() + (size_t)slot * s, 4, s, f) != (size_t)s)
             return false;
-        std::vector<uint8_t> m8(mask_n());
-        if (fread(m8.data(), 1, mask_n(), f) != mask_n()) return false;
-        float* mp = b->mask.data() + (size_t)slot * mask_n();
-        for (size_t i = 0; i < mask_n(); ++i) mp[i] = (float)m8[i];
+        uint8_t* mp = b->mask.data() + (size_t)slot * mask_n();
+        if (fread(mp, 1, mask_n(), f) != mask_n()) return false;
         return true;
     }
 
@@ -150,9 +148,12 @@ void* egs_loader_create(const char* path, int32_t batch_size,
 }
 
 // Copies the next batch into caller buffers; returns 1 on success.
+// mask is returned as the raw 0/1 uint8 stored in the shard (the
+// supervision kernels consume it via `mask > 0`; shipping u8 quarters the
+// host->device bytes of the biggest supervision tensor).
 int32_t egs_loader_next(void* handle, float* feats, float* next_w,
                         int32_t* pdf, float* init, float* final_w,
-                        float* mask) {
+                        uint8_t* mask) {
     auto* l = (Loader*)handle;
     Batch b;
     {
@@ -168,7 +169,7 @@ int32_t egs_loader_next(void* handle, float* feats, float* next_w,
     memcpy(pdf, b.pdf.data(), b.pdf.size() * 4);
     memcpy(init, b.init.data(), b.init.size() * 4);
     memcpy(final_w, b.final_w.data(), b.final_w.size() * 4);
-    memcpy(mask, b.mask.data(), b.mask.size() * 4);
+    memcpy(mask, b.mask.data(), b.mask.size());
     return 1;
 }
 

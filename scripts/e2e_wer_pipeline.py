@@ -117,7 +117,7 @@ def run_base():
         dropout_schedule=((0.0, 0.0), (0.2, 0.3), (0.5, 0.3), (1.0, 0.0)))
     t0 = time.time()
     state, metrics = train_model(bundle, mc, tc, 900, batch_size=48,
-                                 chunk_width=24, seed=0)
+                                 chunk_width=24, seed=0, log_every=100)
     objf = metrics.last("objf_mmi")
     t0v = time.time()
     print(f"[3] train objf_mmi={objf:.4f} ({time.time() - t0:.0f}s)",
@@ -135,7 +135,8 @@ def run_base():
     t0 = time.time()
     rep = decode_corpus_words(bundle, mc, state, g, test,
                               acoustic_scale=1.0, beam=15.0,
-                              lattice=True, lattice_beam=8.0)
+                              lattice=True, lattice_beam=8.0,
+                              num_workers=2)
     wer_tg = rep["wer"]
     print(f"[4] first-pass (tg) WER={wer_tg:.2f}%  "
           f"({time.time() - t0:.0f}s)", flush=True)
@@ -227,7 +228,8 @@ def run_search(shared=None):
         optimizer=OptimizerConfig(num_steps=500, **base_opt))
     t0 = time.time()
     sup_state, _ = train_model(bundle, darts, pre_tc, 500, batch_size=48,
-                               chunk_width=24, seed=0, supernet=True)
+                               chunk_width=24, seed=0, supernet=True,
+                               log_every=100)
     print(f"[6] pretrain done ({time.time() - t0:.0f}s)", flush=True)
 
     # --- cv alpha update (gumbel, frozen BN/theta, 5% dev split) ---
@@ -239,7 +241,8 @@ def run_search(shared=None):
     sup_state, cv_metrics = train_model(bundle, darts, cv_tc, 400,
                                         batch_size=48, chunk_width=24,
                                         seed=1, supernet=True,
-                                        init_state=sup_state, dev=True)
+                                        init_state=sup_state, dev=True,
+                                        log_every=100)
     a_lin = np.asarray(sup_state.alphas["offsets_linear"])
     a_aff = np.asarray(sup_state.alphas["offsets_affine"])
 
@@ -273,7 +276,7 @@ def run_search(shared=None):
             optimizer=OptimizerConfig(num_steps=700, **base_opt))
         t0 = time.time()
         st, mets = train_model(bundle, ccfg, tc, 700, batch_size=48,
-                               chunk_width=24, seed=7)
+                               chunk_width=24, seed=7, log_every=200)
         # held-out objf on the dev split
         vstep = make_valid_step(ccfg, tc, bundle.den_arrays)
         from tdnnf_nas_tpu.data.egs import batch_iterator
@@ -287,7 +290,8 @@ def run_search(shared=None):
             vals.append(float(vstep(st, jax.tree.map(jnp.asarray, b))
                               ["objf_mmi"]))
         rep = decode_corpus_words(bundle, ccfg, st, g, test,
-                                  acoustic_scale=1.0, beam=15.0)
+                                  acoustic_scale=1.0, beam=15.0,
+                                  num_workers=2)
         from tdnnf_nas_tpu.models import count_params
         table[name] = {
             "strides": [list(p) for p in

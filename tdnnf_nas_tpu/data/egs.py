@@ -87,6 +87,7 @@ def make_egs(
     den_init_fn=None,
     den_fsa=None,
     stats: Optional[dict] = None,
+    ivectors=None,
 ) -> List[Chunk]:
     """Cut utterances (data.synthetic.Utterance-like: .feats [T_in,F],
     .phones, .begins, .ends at output rate) into supervised chunks.
@@ -96,6 +97,9 @@ def make_egs(
     ``stats``, if given, is filled in-place with chunk-coverage counters —
     in particular how much supervision the max_phones_per_chunk cap drops
     (Kaldi's get_egs.sh logs the same discard accounting).
+    ``ivectors``, if given, is one [D] vector per utterance attached to
+    every chunk cut from it (the egs-level i-vector of get_egs.sh
+    --online-ivector-dir).
     """
     fs = cfg.frame_subsampling_factor
     widths = cfg.chunk_widths
@@ -106,7 +110,7 @@ def make_egs(
     n_kept_chunks = 0
     kept_frames_total = 0
     dropped_frames = 0
-    for utt in utts:
+    for ui, utt in enumerate(utts):
         t_out = len(utt.pdf_align) if utt.pdf_align is not None else (
             utt.feats.shape[0] // fs
         )
@@ -175,7 +179,10 @@ def make_egs(
             )
             in_start = c * fs  # padded coords: original frame c*fs - left + left
             feats = padded[in_start : in_start + cfg.input_frames_for(w)]
-            chunks.append(Chunk(feats=feats, sup=sup))
+            chunks.append(Chunk(
+                feats=feats, sup=sup,
+                ivector=(np.asarray(ivectors[ui], np.float32)
+                         if ivectors is not None else None)))
             n_kept_chunks += 1
             kept_frames_total += w
     if stats is not None:

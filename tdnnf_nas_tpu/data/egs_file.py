@@ -85,8 +85,9 @@ class NativeEgsLoader:
         lib.egs_loader_create.argtypes = [ctypes.c_char_p, ctypes.c_int32,
                                           ctypes.c_int32, ctypes.c_uint64]
         lib.egs_loader_create.restype = ctypes.c_void_p
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.egs_loader_next.argtypes = [ctypes.c_void_p, f32p, f32p, i32p,
-                                        f32p, f32p, f32p]
+                                        f32p, f32p, u8p]
         lib.egs_loader_next.restype = ctypes.c_int32
         lib.egs_loader_destroy.argtypes = [ctypes.c_void_p]
         lib.egs_loader_destroy.restype = None
@@ -100,10 +101,11 @@ class NativeEgsLoader:
             pdf = np.empty((b, s), np.int32)
             init = np.empty((b, s), np.float32)
             final = np.empty((b, s), np.float32)
-            mask = np.empty((b, self.t_out, s), np.float32)
+            mask = np.empty((b, self.t_out, s), np.uint8)
             ok = self._lib.egs_loader_next(
                 self._h, _f32p(feats), _f32p(next_w), _i32p(pdf),
-                _f32p(init), _f32p(final), _f32p(mask))
+                _f32p(init), _f32p(final),
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
             if not ok:
                 return
             sup = ChunkSupervision(

@@ -116,6 +116,11 @@ class WordCorpusConfig(Config):
     # away); 0 speakers = off
     num_speakers: int = 0
     speaker_shift: float = 0.0
+    # extra word-only sentences from the same bigram source (no audio) for
+    # LM training — the analogue of the reference's Fisher text, which
+    # gives the word LM far more data than the acoustic corpus
+    # (`run.sh:24-79` SRILM training; rnnlm recipes use SWBD+Fisher text)
+    num_text_sents: int = 0
     seed: int = 0
 
 
@@ -137,7 +142,34 @@ def make_word_corpus(cfg: WordCorpusConfig):
         seen.add(pron)
         prons[w] = pron
         w += 1
-    word_bigram = rng.dirichlet(np.ones(cfg.vocab_size) * 0.5, size=cfg.vocab_size)
+    # word source: dense Dirichlet bigram for small vocabularies (kept
+    # verbatim so seeded tests reproduce); Zipf unigram + sparse random
+    # successor sets at real-vocabulary scale (a [V,V] Dirichlet at 30k
+    # words is 7 GB and O(V) per token)
+    big_vocab = cfg.vocab_size > 2000
+    if big_vocab:
+        zipf = 1.0 / np.arange(1, cfg.vocab_size + 1)
+        zipf_cdf = np.cumsum(zipf / zipf.sum())
+        succ = rng.randint(0, cfg.vocab_size, size=(cfg.vocab_size, 20))
+
+        def sample_words(n_words):
+            ws = [int(np.searchsorted(zipf_cdf, rng.rand()))]
+            for _ in range(n_words - 1):
+                if rng.rand() < 0.7:
+                    ws.append(int(succ[ws[-1], rng.randint(20)]))
+                else:
+                    ws.append(int(np.searchsorted(zipf_cdf, rng.rand())))
+            return ws
+    else:
+        word_bigram = rng.dirichlet(np.ones(cfg.vocab_size) * 0.5,
+                                    size=cfg.vocab_size)
+
+        def sample_words(n_words):
+            ws = [rng.randint(cfg.vocab_size)]
+            for _ in range(n_words - 1):
+                ws.append(rng.choice(cfg.vocab_size, p=word_bigram[ws[-1]]))
+            return ws
+
     means = rng.randn(tree.num_pdfs, cfg.feat_dim) * 2.0
     ctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
     spk_a = spk_b = None
@@ -152,9 +184,7 @@ def make_word_corpus(cfg: WordCorpusConfig):
     speakers = []
     for ui in range(cfg.num_utts):
         n_words = rng.randint(cfg.min_words, cfg.max_words + 1)
-        words = [rng.randint(cfg.vocab_size)]
-        for _ in range(n_words - 1):
-            words.append(rng.choice(cfg.vocab_size, p=word_bigram[words[-1]]))
+        words = sample_words(n_words)
         phones = [p for wd in words for p in prons[wd]]
         begins, ends, pdfs, lctx = [], [], [], []
         t = 0
@@ -184,4 +214,8 @@ def make_word_corpus(cfg: WordCorpusConfig):
                               pdf_align, words=words, speaker=spk))
     word_seqs = [u.words for u in utts]
     phone_seqs = [u.phones for u in utts]
+    if cfg.num_text_sents > 0:
+        text = [sample_words(rng.randint(cfg.min_words, cfg.max_words + 1))
+                for _ in range(cfg.num_text_sents)]
+        return utts, prons, word_seqs, phone_seqs, tree, topo, text
     return utts, prons, word_seqs, phone_seqs, tree, topo

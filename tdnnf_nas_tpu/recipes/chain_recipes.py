@@ -23,6 +23,7 @@
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -74,6 +75,10 @@ class DataBundle:
     num_phones: int
     den_fsa: object = None  # CompiledDenFsa on the composed (4-gram/triphone) path
     egs_stats: dict = dataclasses.field(default_factory=dict)
+    # per-utterance i-vectors aligned with train_utts / dev_utts
+    # (Prepare_NAS_data.sh:37-41 online i-vectors), fed into egs + decode
+    train_ivectors: object = None
+    dev_ivectors: object = None
 
     def egs(self, model_cfg, chunk_width=20, dev=False, tol=2,
             max_phones_per_chunk=24, supernet_cfg=None):
@@ -86,12 +91,14 @@ class DataBundle:
             tolerance=tol, max_phones_per_chunk=max_phones_per_chunk,
         )
         utts = self.dev_utts if dev else self.train_utts
+        ivs = self.dev_ivectors if dev else self.train_ivectors
         if self.den_fsa is not None:
             return make_egs(utts, self.lm, self.topo, self.tree, cfg,
-                            den_fsa=self.den_fsa, stats=self.egs_stats)
+                            den_fsa=self.den_fsa, stats=self.egs_stats,
+                            ivectors=ivs)
         return make_egs(utts, self.lm, self.topo, self.tree, cfg,
                         den_init_fn=den_init_lookup(self.den, self.num_phones),
-                        stats=self.egs_stats)
+                        stats=self.egs_stats, ivectors=ivs)
 
 
 def bootstrap_alignments_gmm(utts, phone_seqs, num_phones: int,
@@ -120,7 +127,8 @@ def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
                  dev_fraction: float = 0.05,
                  phone_lm_order: int = 2,
                  num_extra_lm_states: int = 2000,
-                 max_dense_states: int = 4096) -> DataBundle:
+                 max_dense_states: int = 4096,
+                 ivectors=None) -> DataBundle:
     """Estimate the phone LM, build the den graph, split train/dev.
 
     The 95/5 split mirrors `Prepare_NAS_data.sh:5-7` (dev = the alpha-update
@@ -132,6 +140,8 @@ def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
     """
     n_dev = max(1, int(len(utts) * dev_fraction))
     dev, train = utts[:n_dev], utts[n_dev:]
+    iv_dev = ivectors[:n_dev] if ivectors is not None else None
+    iv_train = ivectors[n_dev:] if ivectors is not None else None
     composed = phone_lm_order > 2 or getattr(tree, "context_width", 1) > 2
     if not composed:
         lm = estimate_phone_lm(phone_seqs, num_phones)
@@ -140,6 +150,7 @@ def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
             lm=lm, den=den, den_arrays=DenGraphArrays.from_graph(den),
             tree=tree, topo=topo, train_utts=train, dev_utts=dev,
             num_phones=num_phones,
+            train_ivectors=iv_train, dev_ivectors=iv_dev,
         )
     lm = estimate_ngram_phone_lm(phone_seqs, num_phones,
                                  order=max(phone_lm_order, 2),
@@ -149,6 +160,7 @@ def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
     return DataBundle(
         lm=lm, den=den, den_arrays=comp.to_factored(), tree=tree, topo=topo,
         train_utts=train, dev_utts=dev, num_phones=num_phones, den_fsa=comp,
+        train_ivectors=iv_train, dev_ivectors=iv_dev,
     )
 
 
@@ -167,8 +179,17 @@ def train_model(
     ckpt_dir: Optional[str] = None,
     ckpt_interval: int = 0,
     mesh=None,
+    prefetch: int = 2,
+    log_every: int = 0,
 ) -> Tuple[TrainState, MetricsLogger]:
-    """The iteration loop (`train.py:473-570` equivalent)."""
+    """The iteration loop (`train.py:473-570` equivalent).
+
+    Batches are staged on device by a background thread (``prefetch``
+    buffers, parallel/mesh.prefetch_to_device) and metrics logging is
+    deferred (core/metrics.py), so the loop never blocks on a host<->device
+    round trip per step — through a remote-device tunnel those two syncs
+    dominated wall clock by >10x.  ``log_every`` prints step/objf/rate
+    progress (the per-iteration compute_prob log of `train.py:473-570`)."""
     chunks = bundle.egs(
         model_cfg if not supernet else None, chunk_width=chunk_width, dev=dev,
         supernet_cfg=model_cfg if supernet else None,
@@ -191,13 +212,25 @@ def train_model(
     rng = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed + 1)
     it = batch_iterator(chunks, batch_size=batch_size, rng=rng)
+    if prefetch:
+        from tdnnf_nas_tpu.parallel import prefetch_to_device
+
+        it = prefetch_to_device(it, size=prefetch, mesh=mesh)
+    t_last, i_last = time.time(), 0
     for i, batch in enumerate(it):
         if i >= num_steps:
             break
-        if mesh is not None:
+        if mesh is not None and not prefetch:
             batch = put_batch(batch, mesh)
         state, m = step(state, batch, key)
         metrics.log(i, m)
+        if log_every and (i + 1) % log_every == 0:
+            now = time.time()
+            rate = (i + 1 - i_last) / max(now - t_last, 1e-9)
+            t_last, i_last = now, i + 1
+            print(f"[train] step {i + 1}/{num_steps} "
+                  f"objf_mmi={metrics.last('objf_mmi'):.4f} "
+                  f"({rate:.1f} steps/s)", flush=True)
         if ckpt_dir and ckpt_interval and (i + 1) % ckpt_interval == 0:
             save_checkpoint(ckpt_dir, i + 1, state)
     if ckpt_dir:
@@ -250,13 +283,16 @@ def forward_corpus(
     utts,
     bucket: int = 64,
     batch_size: int = 16,
+    ivectors=None,
 ):
     """Batched acoustic forward of whole utterances on TPU.
 
     Utterances are bucketed by padded output length (few jit shapes) and
     stacked into [B, T_in, F] batches — the eval-set-scale replacement for
     the per-utterance Python loop (`nnet3-compute`'s batched analogue).
-    Returns per-utterance [T_out, P] log-output arrays (chain head).
+    ``ivectors``: per-utterance [D] vectors (zeros if omitted and the model
+    takes them).  Returns per-utterance [T_out, P] log-output arrays
+    (chain head).
     """
     from tdnnf_nas_tpu.models import apply_model
     import jax
@@ -288,6 +324,14 @@ def forward_corpus(
                     np.repeat(u.feats[:1], left, 0), u.feats,
                     np.repeat(u.feats[-1:], need, 0)])[:need]
                 for _, u, _ in group])
+            if ivectors is not None:
+                iv = np.stack([np.asarray(ivectors[i], np.float32)
+                               for i, _, _ in group])
+                chain = fwd(jnp.asarray(feats), jnp.asarray(iv))
+                chain = np.asarray(chain, np.float32)
+                for (i, _, t_out), row in zip(group, chain):
+                    outs[i] = row[:t_out]
+                continue
             iv = (np.zeros((len(group), model_cfg.ivector_dim), np.float32)
                   if model_cfg.ivector_dim else None)
             chain = fwd(jnp.asarray(feats),
@@ -324,6 +368,7 @@ def decode_corpus_words(
     batch_size: int = 16,
     num_workers: int = 0,
     retry_beam: float = 0.0,
+    ivectors=None,
 ) -> dict:
     """Eval-set word decoding: batched TPU forward + sparse beam search +
     WER (the `steps/nnet3/decode.sh` + scoring equivalent over the
@@ -337,7 +382,8 @@ def decode_corpus_words(
     from tdnnf_nas_tpu.decode.scoring import score_corpus
 
     outs = forward_corpus(bundle_or_cfg, model_cfg, state, utts,
-                          bucket=bucket, batch_size=batch_size)
+                          bucket=bucket, batch_size=batch_size,
+                          ivectors=ivectors)
     kw = dict(acoustic_scale=acoustic_scale, beam=beam,
               max_active=max_active, lattice=lattice,
               lattice_beam=lattice_beam,

@@ -85,3 +85,44 @@ def test_train_and_decode_reduces_per(bundle):
     random_res = decode_corpus(bundle, BASE, rand_state)
     assert trained["wer"] < random_res["wer"], (trained, random_res)
     assert trained["wer"] < 80.0, trained
+
+
+def test_search_finds_planted_lookahead():
+    """Planted-lag sanity (docs/search_sanity.json, scripts/
+    search_sanity_planted.py): when the disambiguating evidence sits K=6
+    output frames ahead, the cv-update must reject the affine strides
+    that provably cannot reach it and concentrate on those that can."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import search_sanity_planted as ssp
+    from tdnnf_nas_tpu.models import (DartsModelConfig, SearchMode,
+                                      TdnnfModelConfig)
+    from tdnnf_nas_tpu.recipes.chain_recipes import prepare_data, train_model
+    from tdnnf_nas_tpu.train import OptimizerConfig, TrainerConfig
+
+    utts, phone_seqs, tree, topo = ssp.make_planted_corpus(num_utts=96)
+    bundle = prepare_data(utts, phone_seqs, tree, topo, tree.num_phones,
+                          dev_fraction=0.12)
+    base = TdnnfModelConfig(
+        feat_dim=24, ivector_dim=0, hidden_dim=64, bottleneck_dim=16,
+        time_strides=(1,), num_pdfs=tree.num_pdfs, prefinal_big=64,
+        prefinal_small=32, compute_dtype="float32")
+    darts = DartsModelConfig(base=base, search_offsets=True, max_stride=3)
+    opt = dict(kind="adam", lr_initial=2e-3, lr_final=5e-4)
+    pre = TrainerConfig(train_theta=True, train_alpha=False,
+                        search_mode=SearchMode.UNIFORM,
+                        optimizer=OptimizerConfig(num_steps=200, **opt))
+    sup, _ = train_model(bundle, darts, pre, 200, batch_size=16,
+                         chunk_width=20, seed=0, supernet=True)
+    cv = TrainerConfig(train_theta=False, train_alpha=True, bn_frozen=True,
+                       search_mode=SearchMode.SOFTMAX,
+                       optimizer=OptimizerConfig(num_steps=500,
+                                                 alpha_lr_scale=30.0, **opt))
+    sup, _ = train_model(bundle, darts, cv, 500, batch_size=16,
+                         chunk_width=20, seed=1, supernet=True,
+                         init_state=sup, dev=True)
+    a_aff = np.asarray(sup.alphas["offsets_affine"])
+    p = np.exp(a_aff) / np.exp(a_aff).sum(-1, keepdims=True)
+    assert p[0, 2] + p[0, 3] > 0.7, p[0]  # reachable strides win
+    assert p[0, 0] < 0.15 and p[0, 1] < 0.2, p[0]  # unreachable rejected

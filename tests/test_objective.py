@@ -31,6 +31,9 @@ def _setup(num_phones=5, b=3, t=12, seed=0):
         sups.append(make_chunk_supervision(phones, begins, ends, lm, topo, tree,
                                            t, 10, tol=1, den_init_fn=init_fn))
     sup = stack_supervisions(sups)
+    # batched supervisions drop the dense trans when next_w is present
+    # (never shipped to device); stack it here for the dense reference
+    sup.trans = np.stack([s.trans for s in sups])
     obs = rng.randn(b, t, den.num_pdfs).astype(np.float32)
     return den, sup, jnp.asarray(obs)
 
