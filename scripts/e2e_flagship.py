@@ -66,7 +66,7 @@ def build_setup():
         vocab_size=2500 if SMOKE else 30000, num_phones=46, feat_dim=40,
         num_utts=220 if SMOKE else 4200,
         min_words=6, max_words=14, min_pron=3, max_pron=7, mean_dur=3.5,
-        emission_noise=3.2, context_shift=1.0, num_speakers=40,
+        emission_noise=4.5, context_shift=1.0, num_speakers=40,
         speaker_shift=1.0, num_text_sents=4000 if SMOKE else 120000, seed=0)
     t0 = time.time()
     utts, prons, word_seqs, phone_seqs, _, topo, text = make_word_corpus(cfg)
@@ -256,12 +256,15 @@ def run_base():
                                             train_rnnlm)
 
         t0 = time.time()
-        rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size, embed_dim=128,
-                             hidden_dim=256)
+        # toward the reference's 1024-embed/2048-cell TDNN-LSTM rescorer
+        # (run_tdnn_lstm_fbk40_mod_hasfisher_large_drop_e40.sh:27-60)
+        rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size,
+                             embed_dim=128 if SMOKE else 512,
+                             hidden_dim=256 if SMOKE else 1024)
         lm_ids = text + word_seqs[N_TEST:]
         rnn_params, rnn_metrics = train_rnnlm(lm_ids, rl_cfg,
                                               num_steps=150 if SMOKE
-                                              else 1500,
+                                              else 2500,
                                               batch_size=64, seed=0)
         scorer = RnnLMScorer(rl_cfg, rnn_params)
         hyps_r = []
@@ -329,11 +332,13 @@ def run_base():
                                  bundle.den_arrays, tc.objective, batches,
                                  num_steps=8, lr=0.15)
             # decode this speaker's test utts with the adapted scales
+            # (lengths padded to buckets of 64 => few jit shapes)
             tidx = [i for i, u in enumerate(test) if u.speaker == spk]
             for i in tidx:
                 u = test[i]
                 t_out = len(u.pdf_align)
-                need = left + (t_out - 1) * fs + 1 + right
+                t_pad = ((t_out + 63) // 64) * 64
+                need = left + (t_pad - 1) * fs + 1 + right
                 feats = np.concatenate([
                     np.repeat(u.feats[:1], left, 0), u.feats,
                     np.repeat(u.feats[-1:], need, 0)])[None][:, :need]

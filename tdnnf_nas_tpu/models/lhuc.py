@@ -52,6 +52,32 @@ def apply_model_lhuc(
                             train=train, post_bn_scales=lhuc_scales(lhuc))
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "objective_cfg", "lr"))
+def _lhuc_step(cfg, objective_cfg, lr, params, bn_state, den_arrays, lhuc,
+               batch):
+    """One frozen-model SGD step on the LHUC logits.  Module-level jit so
+    the compiled step is REUSED across speakers (a per-speaker closure
+    would recompile for every speaker — minutes each through a remote
+    compile service)."""
+    from tdnnf_nas_tpu.train.objective import chain_objective
+
+    def loss_fn(lh):
+        chain, xent, _ = apply_model_lhuc(
+            cfg, params, bn_state, lh, batch["feats"],
+            batch.get("ivectors"), train=False,
+        )
+        loss, metrics = chain_objective(chain, xent, den_arrays,
+                                        batch["sup"], objective_cfg)
+        return loss, metrics
+
+    (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(lhuc)
+    new = jax.tree.map(lambda p, gr: p - lr * gr, lhuc, g)
+    return new, metrics
+
+
 def adapt_lhuc(
     cfg: base.TdnnfModelConfig,
     params,
@@ -67,25 +93,7 @@ def adapt_lhuc(
     batches: iterable of {"feats", "sup", ["ivectors"]} from the speaker's
     adaptation data.  Returns the adapted logits.
     """
-    from tdnnf_nas_tpu.train.objective import chain_objective
-
     lhuc = init_lhuc(cfg)
-
-    @jax.jit
-    def step(lhuc, batch):
-        def loss_fn(lh):
-            chain, xent, _ = apply_model_lhuc(
-                cfg, params, bn_state, lh, batch["feats"],
-                batch.get("ivectors"), train=False,
-            )
-            loss, metrics = chain_objective(chain, xent, den_arrays,
-                                            batch["sup"], objective_cfg)
-            return loss, metrics
-
-        (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(lhuc)
-        new = jax.tree.map(lambda p, gr: p - lr * gr, lhuc, g)
-        return new, metrics
-
     it = iter(batches)
     metrics = None
     for i in range(num_steps):
@@ -94,5 +102,6 @@ def adapt_lhuc(
         except StopIteration:
             it = iter(batches)
             batch = next(it)
-        lhuc, metrics = step(lhuc, batch)
+        lhuc, metrics = _lhuc_step(cfg, objective_cfg, lr, params, bn_state,
+                                   den_arrays, lhuc, batch)
     return lhuc, metrics
