@@ -301,11 +301,18 @@ def run_base():
         hyps_l = [None] * len(test)
         n_spk = 0
 
+        # params as jit ARGS (closed-over 19M-param arrays would be baked
+        # into the HLO as constants — observed to wedge the remote compile)
         @jax.jit
-        def fwd_lhuc(lhuc, feats, iv):
-            chain, _, _ = apply_model_lhuc(mc, state.params, state.bn_state,
+        def fwd_lhuc(params, bn_state, lhuc, feats, iv):
+            chain, _, _ = apply_model_lhuc(mc, params, bn_state,
                                            lhuc, feats, iv, train=False)
             return chain
+
+        # ONE decode shape for the whole stage: pad every utterance to the
+        # test-set max (single compile instead of one per 64-frame bucket)
+        t_max = max(len(u.pdf_align) for u in test)
+        t_pad_all = ((t_max + 63) // 64) * 64
 
         all_chunks = bundle.egs(mc, chunk_width=50, max_phones_per_chunk=40)
         # map chunk -> speaker via utterance order is lost; rebuild small
@@ -325,6 +332,13 @@ def run_base():
             batches = []
             for b in batch_iterator(chunks, 16, np.random.RandomState(0),
                                     drop_last=False):
+                n_b = b["feats"].shape[0]
+                if n_b < 16:  # pad to one fixed shape across all speakers
+                    b = jax.tree.map(
+                        lambda a: (np.concatenate(
+                            [a, np.repeat(a[:1], 16 - n_b, 0)])
+                            if isinstance(a, np.ndarray)
+                            and a.ndim and a.shape[0] == n_b else a), b)
                 batches.append(jax.tree.map(jnp.asarray, b))
                 if len(batches) >= 8:
                     break
@@ -337,13 +351,13 @@ def run_base():
             for i in tidx:
                 u = test[i]
                 t_out = len(u.pdf_align)
-                t_pad = ((t_out + 63) // 64) * 64
-                need = left + (t_pad - 1) * fs + 1 + right
+                need = left + (t_pad_all - 1) * fs + 1 + right
                 feats = np.concatenate([
                     np.repeat(u.feats[:1], left, 0), u.feats,
                     np.repeat(u.feats[-1:], need, 0)])[None][:, :need]
                 obs = np.asarray(
-                    fwd_lhuc(lhuc, jnp.asarray(feats),
+                    fwd_lhuc(state.params, state.bn_state, lhuc,
+                             jnp.asarray(feats),
                              jnp.asarray(iv_test[i][None])), np.float32)[0]
                 res = beam_decode_sparse(obs[:t_out], g, beam=16.0,
                                          max_active=10000, retry_beam=64.0)

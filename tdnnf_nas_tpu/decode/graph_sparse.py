@@ -174,14 +174,26 @@ def build_hclg_sparse(
     pdfseq_cache: Dict[Tuple[int, Tuple[int, ...]], Tuple[int, ...]] = {}
     chain_cache: Dict[Tuple[Tuple[int, ...], int], int] = {}
 
+    rctx = getattr(tree, "right_context", 0)
+
     def pdf_seq(wid: int, left: Tuple[int, ...]) -> Tuple[int, ...]:
         key = (wid, left)
         seq = pdfseq_cache.get(key)
         if seq is None:
             out: List[int] = []
             l = left
-            for p in lexicon.prons[wid]:
-                out.append(int(tree.forward_pdf_ctx(p, l)))
+            pron = lexicon.prons[wid]
+            for i, p in enumerate(pron):
+                if rctx:
+                    # +-1 tree: within-word successor is exact; the
+                    # word-final phone uses the unseen-context class r=-1
+                    # (approximation vs Kaldi's cross-word C-composition
+                    # splits — successor-word context would multiply
+                    # word-final states by the distinct first-phone count)
+                    r = int(pron[i + 1]) if i + 1 < len(pron) else -1
+                    out.append(int(tree.forward_pdf_ctx(p, l, right=r)))
+                else:
+                    out.append(int(tree.forward_pdf_ctx(p, l)))
                 out.append(int(tree.self_loop_pdf(p)))
                 l = ((p,) + l)[:tctx]
             seq = tuple(out)

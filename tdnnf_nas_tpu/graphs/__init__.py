@@ -4,6 +4,7 @@ from tdnnf_nas_tpu.graphs.topology import (
     ContextIndependentTree,
     BiphoneTree,
     TriphoneTree,
+    CrossTriphoneTree,
 )
 from tdnnf_nas_tpu.graphs.phone_lm import (
     PhoneLM,
@@ -32,5 +33,7 @@ from tdnnf_nas_tpu.graphs.tree_cluster import (
     accumulate_triphone_stats,
     build_clustered_tree,
     build_clustered_triphone_tree,
+    accumulate_cross_triphone_stats,
+    build_clustered_cross_triphone_tree,
     build_tree_from_corpus,
 )

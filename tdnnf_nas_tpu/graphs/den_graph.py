@@ -113,6 +113,10 @@ class CompiledDenFsa:
     loop_state: Dict[int, int]  # pos_id -> state id
     start_pos: int  # position id at BOS
     pos_trans: Dict[Tuple[int, int], Tuple[int, int]]  # (pos, phone) -> (dest pos, pdf)
+    # committed-successor composition (+-1 right-context trees): positions
+    # carry the next phone; walk keys are (pos, commitment) from normal
+    # positions and (pos, consumed, commitment) from wildcard ones
+    committed: bool = False
 
     def to_state_graph(self) -> StateGraph:
         """Dense [S,S] export (tests / small graphs)."""
@@ -182,6 +186,14 @@ class CompiledDenFsa:
         e = np.zeros((n,), np.float32)
         l = np.zeros((n,), np.float32)
         pos = self.start_pos
+        if self.committed:
+            for i, q in enumerate(phones):
+                r = int(phones[i + 1]) if i + 1 < n else -1
+                k = (pos, int(q), r) if i == 0 else (pos, r)
+                pos, pdf = self.pos_trans[k]
+                e[i] = self.init[self.enter_state[(pos, pdf)]]
+                l[i] = self.init[self.loop_state[pos]]
+            return e, l
         for i, q in enumerate(phones):
             pos, pdf = self.pos_trans[(pos, int(q))]
             e[i] = self.init[self.enter_state[(pos, pdf)]]
@@ -206,6 +218,190 @@ def _lm_tables(lm) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[tuple], int
     return probs, final, nxt, hists, 0
 
 
+def _compile_den_fsa_committed(lm, topo: ChainTopology, tree) -> CompiledDenFsa:
+    """Composition variant for +-1 right-context trees (CrossTriphoneTree).
+
+    A phone's forward pdf depends on its SUCCESSOR, so positions carry a
+    *committed* next phone: position = (lm_state_after_q, extra_left, r)
+    means "phone q = last of history is in progress, its successor is
+    committed to be r" (r = -1: q ends the utterance — the wildcard/EOS
+    commitment).  Arc weights pay the successor commitment probability
+    P(r' | s·r) at commitment time, so every path's weight telescopes to
+    the ordinary LM path probability; including the EOS-mass commitment
+    (-1) makes each row exactly stochastic with no renormalization.
+    Wildcard positions restart from the BOS distribution (utterance
+    concatenation, the same chunk-interior semantics as the left-context
+    builder's EOS redistribution).  This is the TPU-shaped equivalent of
+    Kaldi's C-transducer delayed-symbol composition in
+    `chain-den-graph.cc` + `context-fst.cc`.
+    """
+    p_count = lm.num_phones
+    if topo.num_phones != p_count:
+        raise ValueError("phone count mismatch between LM and topology")
+    a = float(topo.self_loop_prob)
+    probs, lm_final, nxt, hists, bos = _lm_tables(lm)
+    lm_final = np.maximum(lm_final, 1e-8)  # wildcard commitment weight floor
+
+    pos_key: Dict[tuple, int] = {}
+    pos_list: List[tuple] = []  # (lm_state, extra_left, committed_r)
+
+    def pos_id(key) -> int:
+        i = pos_key.get(key)
+        if i is None:
+            i = pos_key[key] = len(pos_list)
+            pos_list.append(key)
+        return i
+
+    def dest_key(s2, full_left: tuple, r_new: int) -> tuple:
+        """extra carries the left phone when the LM history is too short."""
+        h2 = hists[s2]
+        need = max(0, 1 - len(h2))
+        e2 = full_left[len(full_left) - 1:] if need else ()
+        return (s2, e2, r_new)
+
+    start_id = pos_id((bos, (), -1))
+    out_arcs: List[List[Tuple[int, int, float]]] = []
+    enter_pdfs: List[List[int]] = []
+    queue = [start_id]
+    head = 0
+    while head < len(queue):
+        src = queue[head]
+        head += 1
+        while len(out_arcs) < len(pos_list):
+            out_arcs.append(None)
+            enter_pdfs.append([])
+        s, extra, r = pos_list[src]
+        fc = tuple(extra) + tuple(h for h in hists[s] if h != BOS)
+        cur = fc[-1] if fc else -1  # phone in progress (left ctx of next)
+        arcs = []
+
+        def commit_arcs(s2, consumed: int, left: int, scale: float):
+            """All successor commitments after consuming ``consumed``."""
+            out = []
+            for r2 in range(p_count):
+                w = scale * float(probs[s2, r2])
+                if w <= 0.0:
+                    continue
+                out.append((dest_key(s2, (consumed,), r2), consumed, left,
+                            r2, w))
+            w_end = scale * float(lm_final[s2])
+            if w_end > 0.0:
+                out.append((dest_key(s2, (consumed,), -1), consumed, left,
+                            -1, w_end))
+            return out
+
+        if r != -1:
+            # consume the committed phone r, choose its successor
+            s2 = int(nxt[s, r])
+            raw = commit_arcs(s2, r, cur, 1.0)
+        else:
+            # wildcard: current phone ended the utterance; restart from BOS
+            raw = []
+            norm = max(1.0 - float(lm_final[bos]), 1e-8)
+            for q in range(p_count):
+                wq = float(probs[bos, q]) / norm
+                if wq <= 0.0:
+                    continue
+                raw.extend(commit_arcs(int(nxt[bos, q]), q, -1, wq))
+        for key2, consumed, left, r2, w in raw:
+            new = key2 not in pos_key
+            d = pos_id(key2)
+            if new:
+                queue.append(d)
+            pdf = int(tree.forward_pdf_lr(consumed, left, r2))
+            while len(enter_pdfs) < len(pos_list):
+                out_arcs.append(None)
+                enter_pdfs.append([])
+            if pdf not in enter_pdfs[d]:
+                enter_pdfs[d].append(pdf)
+            # walk key: wildcard sources need the consumed phone too
+            wk = (src, consumed, r2) if r == -1 else (src, r2)
+            arcs.append((d, pdf, (1.0 - a) * w, wk))
+        out_arcs[src] = arcs
+
+    npos = len(pos_list)
+    seg_bounds = np.zeros((npos + 1,), np.int32)
+    enter_state: Dict[Tuple[int, int], int] = {}
+    loop_state: Dict[int, int] = {}
+    state_pdf: List[int] = []
+    sid = 0
+    for pid in range(npos):
+        seg_bounds[pid] = sid
+        s, extra, r = pos_list[pid]
+        fc = tuple(extra) + tuple(h for h in hists[s] if h != BOS)
+        for pdf in sorted(enter_pdfs[pid]):
+            enter_state[(pid, pdf)] = sid
+            state_pdf.append(pdf)
+            sid += 1
+        if fc:
+            loop_state[pid] = sid
+            state_pdf.append(int(tree.self_loop_pdf(fc[-1])))
+            sid += 1
+    seg_bounds[npos] = sid
+    num_states = sid
+
+    arc_dst: List[int] = []
+    arc_src_pos: List[int] = []
+    arc_w: List[float] = []
+    pos_trans = {}
+    for pid in range(npos):
+        lp = loop_state.get(pid)
+        if lp is not None:
+            arc_dst.append(lp)
+            arc_src_pos.append(pid)
+            arc_w.append(a)
+        for d, pdf, w, wk in out_arcs[pid]:
+            arc_dst.append(enter_state[(d, pdf)])
+            arc_src_pos.append(pid)
+            arc_w.append(w)
+            pos_trans[wk] = (d, pdf)
+    arc_dst = np.asarray(arc_dst, np.int32)
+    arc_src_pos = np.asarray(arc_src_pos, np.int32)
+    arc_w = np.asarray(arc_w, np.float32)
+
+    # stationary init, iteration-averaged (fsa.stationary_init semantics)
+    w64 = arc_w.astype(np.float64)
+    alpha = np.zeros((num_states,), np.float64)
+    for d, pdf, w, _wk in out_arcs[start_id]:
+        alpha[enter_state[(d, pdf)]] += w
+    alpha /= max(alpha.sum(), 1e-30)
+    acc = alpha.copy()
+    for _ in range(100):
+        beta = np.add.reduceat(
+            np.concatenate([alpha, [0.0]]),
+            np.minimum(seg_bounds[:-1], num_states).astype(np.int64),
+        )
+        empty = seg_bounds[:-1] == seg_bounds[1:]
+        beta = np.where(empty, 0.0, beta[: npos])
+        nxt_alpha = np.zeros((num_states,), np.float64)
+        np.add.at(nxt_alpha, arc_dst, beta[arc_src_pos] * w64)
+        tot = nxt_alpha.sum()
+        if tot <= 0:
+            raise ValueError("denominator FSA has no probability mass")
+        alpha = nxt_alpha / tot
+        acc += alpha
+    init = (acc / acc.sum()).astype(np.float32)
+
+    fsa = CompiledDenFsa(
+        num_positions=npos,
+        num_states=num_states,
+        num_pdfs=tree.num_pdfs,
+        seg_bounds=seg_bounds,
+        state_pdf=np.asarray(state_pdf, np.int32),
+        arc_dst=arc_dst,
+        arc_src_pos=arc_src_pos,
+        arc_w=arc_w,
+        init=init,
+        final=np.ones((num_states,), np.float32),
+        enter_state=enter_state,
+        loop_state=loop_state,
+        start_pos=start_id,
+        pos_trans=pos_trans,
+    )
+    fsa.committed = True
+    return fsa
+
+
 def compile_denominator_fsa(lm, topo: ChainTopology, tree) -> CompiledDenFsa:
     """Compose phone LM x chain topology x context tree into the factored
     state-emitting den FSA.
@@ -218,6 +414,8 @@ def compile_denominator_fsa(lm, topo: ChainTopology, tree) -> CompiledDenFsa:
     stationary mass, matching the round-1 dense layout's unreachable BOS
     rows.
     """
+    if getattr(tree, "right_context", 0):
+        return _compile_den_fsa_committed(lm, topo, tree)
     p_count = lm.num_phones
     if topo.num_phones != p_count:
         raise ValueError("phone count mismatch between LM and topology")

@@ -75,6 +75,7 @@ def numerator_graph(
     max_states: int,
     init_ctx=None,
     init_left: tuple = (),
+    next_phone: int = -1,
 ):
     """Linear chain graph over `phones`, padded to max_states (=2*max_phones).
 
@@ -105,16 +106,33 @@ def numerator_graph(
     ctx = lm.walk_init() if init_ctx is None else init_ctx
     left: tuple = tuple(init_left)
     tctx = getattr(tree, "context_width", 1) - 1
+    rctx = getattr(tree, "right_context", 0)
     for i, p in enumerate(phones):
         e, l = 2 * i, 2 * i + 1
         _, ctx_after = lm.walk(ctx, p)
-        state_pdf[e] = tree.forward_pdf_ctx(p, left)
+        if rctx:
+            # +-1 tree: pdf keyed on the successor; ``next_phone`` is the
+            # true utterance successor of the chunk's last phone (-1 =
+            # utterance end, matching the den's wildcard/EOS commitment)
+            right = phones[i + 1] if i + 1 < n else next_phone
+            state_pdf[e] = tree.forward_pdf_ctx(p, left, right=int(right))
+        else:
+            state_pdf[e] = tree.forward_pdf_ctx(p, left)
         state_pdf[l] = tree.self_loop_pdf(p)
         for src in (e, l):
             trans[src, l] = a
             if i + 1 < n:
                 q = phones[i + 1]
-                wq, _ = lm.walk(ctx_after, q)
+                wq, ctx2 = lm.walk(ctx_after, q)
+                if rctx:
+                    # committed-successor semantics: the arc entering q
+                    # pays q's OWN successor probability (den arc weight,
+                    # den_graph._compile_den_fsa_committed)
+                    commit = phones[i + 2] if i + 2 < n else next_phone
+                    if commit == -1:
+                        wq = max(lm.final_prob(ctx2), 1e-8)
+                    else:
+                        wq, _ = lm.walk(ctx2, int(commit))
                 w = (1.0 - a) * wq
                 trans[src, 2 * (i + 1)] = w
                 next_w[i] = w
@@ -166,6 +184,7 @@ def make_chunk_supervision(
     den_init_seq=None,
     init_ctx=None,
     init_left: tuple = (),
+    next_phone: int = -1,
 ) -> ChunkSupervision:
     """Build the full numerator supervision for one chunk.
 
@@ -183,7 +202,7 @@ def make_chunk_supervision(
     """
     trans, state_pdf, init, final, next_w = numerator_graph(
         phones, lm, topo, tree, max_states,
-        init_ctx=init_ctx, init_left=init_left)
+        init_ctx=init_ctx, init_left=init_left, next_phone=next_phone)
     n = len(phones)
     if begins is None:
         mask = np.zeros((num_frames, max_states), dtype=np.float32)

@@ -100,6 +100,53 @@ class BiphoneTree:
         return self.self_loop_pdf(phone)
 
 
+class CrossTriphoneTree:
+    """Classic +-1 triphone tree: context window [l, p, r] (one LEFT and
+    one RIGHT phone), the exact shape of the reference's `tri5_7d` tree
+    (`run_tdnn_7q_fbk_40_manual.sh:26`, upstream build_tree.sh).
+
+    Right-context dependence means the forward pdf of a phone is known only
+    once its successor is; the denominator composition handles this with
+    committed-successor positions (`den_graph.compile_denominator_fsa`),
+    the numerator reads the successor off the known phone sequence, and
+    decode graphs use the within-pronunciation successor (word-final
+    phones fall back to the unseen-context class r=-1, documented
+    approximation vs Kaldi's full C-composition cross-word splits).
+
+    ``forward_pdf_lr(p, l, r)`` looks up a flat [P, P+1, P+1] table (-1 =
+    BOS/EOS/unknown in either slot); self-loop pdfs per phone.
+    """
+
+    right_context = 1
+
+    def __init__(self, num_phones: int, fwd_table, n_fwd: int):
+        import numpy as _np
+
+        self.num_phones = num_phones
+        self.context_width = 2  # LEFT window incl. center (l, p)
+        self._fwd_table = _np.asarray(fwd_table, _np.int64).reshape(
+            num_phones, num_phones + 1, num_phones + 1)
+        self._n_fwd = int(n_fwd)
+        self.num_pdfs = self._n_fwd + num_phones
+
+    def forward_pdf_lr(self, phone: int, left_phone: int = -1,
+                       right_phone: int = -1) -> int:
+        return int(self._fwd_table[phone, left_phone + 1, right_phone + 1])
+
+    def forward_pdf_ctx(self, phone: int, left=(), right: int = -1) -> int:
+        l1 = left[0] if len(left) else -1
+        return self.forward_pdf_lr(phone, l1, right)
+
+    def self_loop_pdf(self, phone: int) -> int:
+        return self._n_fwd + phone
+
+    def pdf(self, phone: int, pdf_class: int, left_phone: int = -1,
+            right_phone: int = -1) -> int:
+        if pdf_class == FORWARD:
+            return self.forward_pdf_lr(phone, left_phone, right_phone)
+        return self.self_loop_pdf(phone)
+
+
 class TriphoneTree:
     """Two-left-phone context tree ("triphone" window [l2, l1, p]).
 

@@ -322,6 +322,56 @@ def build_clustered_triphone_tree(
     return TriphoneTree(p, table, n_fwd)
 
 
+def accumulate_cross_triphone_stats(
+    feats: Sequence[np.ndarray],
+    phone_seqs: Sequence[Sequence[int]],
+    begins: Sequence[Sequence[int]],
+    num_phones: int,
+    frame_subsampling_factor: int = 1,
+) -> TriphoneStats:
+    """Per-(p, l, r) forward-frame Gaussian stats — the classic +-1
+    triphone window of the reference's tri5_7d tree (one LEFT and one
+    RIGHT phone; index 0 == BOS/EOS/-1 in either slot).  Returned in the
+    same [P, P+1, P+1, ...] TriphoneStats container (axis 1 = left,
+    axis 2 = right)."""
+    d = feats[0].shape[-1]
+    counts = np.zeros((num_phones, num_phones + 1, num_phones + 1), np.float64)
+    sums = np.zeros((num_phones, num_phones + 1, num_phones + 1, d), np.float64)
+    sumsqs = np.zeros_like(sums)
+    for x, phones, bg in zip(feats, phone_seqs, begins):
+        x = np.asarray(x, np.float64)
+        n = len(phones)
+        for j, p in enumerate(phones):
+            t = min(int(bg[j]) * frame_subsampling_factor, len(x) - 1)
+            f = x[t]
+            l = phones[j - 1] if j > 0 else -1
+            r = phones[j + 1] if j + 1 < n else -1
+            counts[p, l + 1, r + 1] += 1.0
+            sums[p, l + 1, r + 1] += f
+            sumsqs[p, l + 1, r + 1] += f * f
+    return TriphoneStats(counts, sums, sumsqs)
+
+
+def build_clustered_cross_triphone_tree(
+    stats: TriphoneStats,
+    num_leaves: int,
+    min_count: float = 1.0,
+):
+    """Likelihood-clustered +-1 triphone tree (stats from
+    `accumulate_cross_triphone_stats`); same clustering machinery as the
+    left-2 builder, different context semantics."""
+    from tdnnf_nas_tpu.graphs.topology import CrossTriphoneTree
+
+    p, c1, c2 = stats.counts.shape
+    d = stats.sums.shape[-1]
+    table, n_fwd = _cluster_contexts(
+        stats.counts.reshape(p, c1 * c2),
+        stats.sums.reshape(p, c1 * c2, d),
+        stats.sumsqs.reshape(p, c1 * c2, d),
+        num_leaves, min_count)
+    return CrossTriphoneTree(p, table, n_fwd)
+
+
 def build_tree_from_corpus(
     utts,
     phone_seqs: Sequence[Sequence[int]],

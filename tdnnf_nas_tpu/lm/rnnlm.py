@@ -169,10 +169,12 @@ class RnnLMScorer:
     def __init__(self, cfg: RnnLMConfig, params):
         self.cfg = cfg
         self.params = params
+        # params are a jit ARGUMENT (closing over large arrays bakes them
+        # into the HLO as constants — very slow remote compiles at scale)
         self._score_jit = jax.jit(self._score_batch)
 
-    def _score_batch(self, inp, tgt):
-        logits = rnnlm_logits(self.cfg, self.params, inp)
+    def _score_batch(self, params, inp, tgt):
+        logits = rnnlm_logits(self.cfg, params, inp)
         lp = jax.nn.log_softmax(logits, axis=-1)
         mask = (tgt >= 0)
         tgt_safe = jnp.maximum(tgt, 0)
@@ -182,23 +184,23 @@ class RnnLMScorer:
     def score(self, words: Sequence[int]) -> float:
         """log10 P(words </s> | <s>)."""
         inp, tgt = _pad_batch([list(int(w) for w in words)], self.cfg)
-        return float(self._score_jit(inp, tgt)[0]) * _LOG10E
+        return float(self._score_jit(self.params, inp, tgt)[0]) * _LOG10E
 
     # -- incremental API (lattice rescoring, decode/lattice.py) ----------
     # A state is (h [H], c [H], logp [V]) after consuming some prefix;
     # natural-log scores (the lattice works in ln).
 
-    def _step_fn(self, h, c, token):
-        x = self.params["embed"][token]
-        gates = (x @ self.params["lstm"]["wx"] + h @ self.params["lstm"]["wh"]
-                 + self.params["lstm"]["b"])
+    def _step_fn(self, params, h, c, token):
+        x = params["embed"][token]
+        gates = (x @ params["lstm"]["wx"] + h @ params["lstm"]["wh"]
+                 + params["lstm"]["b"])
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         if self.cfg.tie_embeddings:
-            logits = h @ self.params["embed"].T
+            logits = h @ params["embed"].T
         else:
-            logits = h @ self.params["out"]["w"] + self.params["out"]["b"]
+            logits = h @ params["out"]["w"] + params["out"]["b"]
         return h, c, jax.nn.log_softmax(logits)
 
     @property
@@ -211,14 +213,15 @@ class RnnLMScorer:
         hdim = self.params["lstm"]["wh"].shape[0]
         h = jnp.zeros((hdim,))
         c = jnp.zeros((hdim,))
-        h, c, lp = self._step_jit(h, c, jnp.asarray(self.cfg.bos))
+        h, c, lp = self._step_jit(self.params, h, c, jnp.asarray(self.cfg.bos))
         return (h, c, np.asarray(lp))
 
     def advance(self, state, word: int):
         """(ln P(word | prefix), state after consuming word)."""
         h, c, lp = state
         logp = float(lp[int(word)])
-        h2, c2, lp2 = self._step_jit(h, c, jnp.asarray(int(word)))
+        h2, c2, lp2 = self._step_jit(self.params, h, c,
+                                     jnp.asarray(int(word)))
         return logp, (h2, c2, np.asarray(lp2))
 
     def final_logprob(self, state) -> float:

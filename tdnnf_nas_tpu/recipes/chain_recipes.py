@@ -79,6 +79,7 @@ class DataBundle:
     # (Prepare_NAS_data.sh:37-41 online i-vectors), fed into egs + decode
     train_ivectors: object = None
     dev_ivectors: object = None
+    _egs_cache: dict = dataclasses.field(default_factory=dict)
 
     def egs(self, model_cfg, chunk_width=20, dev=False, tol=2,
             max_phones_per_chunk=24, supernet_cfg=None):
@@ -86,6 +87,13 @@ class DataBundle:
             left, right = supernet_context(supernet_cfg)
         else:
             left, right = model_context(model_cfg)
+        # memo: chunks depend only on (context, widths, tol, split) — models
+        # with the same receptive field (e.g. bf16/f32 A/B, repeated child
+        # retrains) reuse one build instead of re-cutting the whole corpus
+        key = (left, right, chunk_width, dev, tol, max_phones_per_chunk)
+        cached = self._egs_cache.get(key)
+        if cached is not None:
+            return cached
         cfg = EgsConfig(
             chunk_width=chunk_width, left_context=left, right_context=right,
             tolerance=tol, max_phones_per_chunk=max_phones_per_chunk,
@@ -93,12 +101,16 @@ class DataBundle:
         utts = self.dev_utts if dev else self.train_utts
         ivs = self.dev_ivectors if dev else self.train_ivectors
         if self.den_fsa is not None:
-            return make_egs(utts, self.lm, self.topo, self.tree, cfg,
-                            den_fsa=self.den_fsa, stats=self.egs_stats,
-                            ivectors=ivs)
-        return make_egs(utts, self.lm, self.topo, self.tree, cfg,
-                        den_init_fn=den_init_lookup(self.den, self.num_phones),
-                        stats=self.egs_stats, ivectors=ivs)
+            chunks = make_egs(utts, self.lm, self.topo, self.tree, cfg,
+                              den_fsa=self.den_fsa, stats=self.egs_stats,
+                              ivectors=ivs)
+        else:
+            chunks = make_egs(
+                utts, self.lm, self.topo, self.tree, cfg,
+                den_init_fn=den_init_lookup(self.den, self.num_phones),
+                stats=self.egs_stats, ivectors=ivs)
+        self._egs_cache[key] = chunks
+        return chunks
 
 
 def bootstrap_alignments_gmm(utts, phone_seqs, num_phones: int,
@@ -142,7 +154,8 @@ def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
     dev, train = utts[:n_dev], utts[n_dev:]
     iv_dev = ivectors[:n_dev] if ivectors is not None else None
     iv_train = ivectors[n_dev:] if ivectors is not None else None
-    composed = phone_lm_order > 2 or getattr(tree, "context_width", 1) > 2
+    composed = (phone_lm_order > 2 or getattr(tree, "context_width", 1) > 2
+                or getattr(tree, "right_context", 0) > 0)
     if not composed:
         lm = estimate_phone_lm(phone_seqs, num_phones)
         den = build_denominator_graph(lm, topo, tree)
@@ -301,9 +314,15 @@ def forward_corpus(
     left, right = model_context(model_cfg)
     fs = model_cfg.frame_subsampling_factor
 
+    # params/bn_state as jit ARGUMENTS, not closure constants: closed-over
+    # device arrays are baked into the lowered HLO as constants, and at
+    # flagship scale (~19M params = 75 MB) that makes every (bucket, batch)
+    # shape variant re-serialize and re-compile a constant-stuffed program
+    # through the remote compile service — minutes per shape, and observed
+    # to wedge it entirely on the LHUC path
     @jax.jit
-    def fwd(feats, ivectors):
-        chain, _, _ = apply_model(model_cfg, state.params, state.bn_state,
+    def fwd(params, bn_state, feats, ivectors):
+        chain, _, _ = apply_model(model_cfg, params, bn_state,
                                   feats, ivectors, train=False)
         return chain
 
@@ -319,6 +338,7 @@ def forward_corpus(
         need = left + (t_pad - 1) * fs + 1 + right
         for j in range(0, len(items), batch_size):
             group = items[j: j + batch_size]
+            n = len(group)
             feats = np.stack([
                 np.concatenate([
                     np.repeat(u.feats[:1], left, 0), u.feats,
@@ -327,17 +347,19 @@ def forward_corpus(
             if ivectors is not None:
                 iv = np.stack([np.asarray(ivectors[i], np.float32)
                                for i, _, _ in group])
-                chain = fwd(jnp.asarray(feats), jnp.asarray(iv))
-                chain = np.asarray(chain, np.float32)
-                for (i, _, t_out), row in zip(group, chain):
-                    outs[i] = row[:t_out]
-                continue
-            iv = (np.zeros((len(group), model_cfg.ivector_dim), np.float32)
-                  if model_cfg.ivector_dim else None)
-            chain = fwd(jnp.asarray(feats),
+            else:
+                iv = (np.zeros((n, model_cfg.ivector_dim), np.float32)
+                      if model_cfg.ivector_dim else None)
+            if n < batch_size:  # pad the tail group: one shape per bucket
+                feats = np.concatenate(
+                    [feats, np.repeat(feats[:1], batch_size - n, 0)])
+                if iv is not None:
+                    iv = np.concatenate(
+                        [iv, np.repeat(iv[:1], batch_size - n, 0)])
+            chain = fwd(state.params, state.bn_state, jnp.asarray(feats),
                         None if iv is None else jnp.asarray(iv))
             chain = np.asarray(chain, np.float32)
-            for (i, _, t_out), row in zip(group, chain):
+            for (i, _, t_out), row in zip(group, chain[:n]):
                 outs[i] = row[:t_out]
     return outs
 

@@ -14,7 +14,8 @@ from tdnnf_nas_tpu.graphs import (
     tolerance_mask,
     stack_supervisions,
 )
-from tdnnf_nas_tpu.ops.fwdbwd import forward_score, forward_score_reference
+from tdnnf_nas_tpu.ops.fwdbwd import (forward_score, forward_score_linear,
+                                      forward_score_reference)
 
 
 def _toy_lm(num_phones=5, seed=0):
@@ -115,12 +116,18 @@ def test_supervision_stacking_and_reference_consistency():
                                t_frames, max_states, tol=2),
     ]
     batch = stack_supervisions(sups)
-    assert batch.trans.shape == (2, 8, 8)
+    # compact linear-chain form: the dense [S,S] trans is NOT shipped
+    # (stack_supervisions drops it; the numerator runs the O(S) banded
+    # kernel) — placeholder shape (B,1,1) keeps the pytree static
+    assert batch.next_w is not None
+    assert batch.trans.shape == (2, 1, 1)
     rng = np.random.RandomState(3)
     obs = rng.randn(2, t_frames, tree.num_pdfs).astype(np.float32)
-    got = np.asarray(forward_score(
-        jnp.asarray(obs), jnp.asarray(batch.trans), jnp.asarray(batch.state_pdf),
-        jnp.asarray(batch.init), jnp.asarray(batch.final), mask=jnp.asarray(batch.mask),
+    got = np.asarray(forward_score_linear(
+        jnp.asarray(obs), jnp.asarray(batch.next_w),
+        jnp.asarray(batch.state_pdf), jnp.asarray(batch.init),
+        jnp.asarray(batch.final), jnp.asarray(batch.mask),
+        self_loop_prob=batch.self_loop_prob,
     ))
     for i, sup in enumerate(sups):
         ref = forward_score_reference(obs[i], sup.trans, sup.state_pdf, sup.init,
