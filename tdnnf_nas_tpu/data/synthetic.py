@@ -121,7 +121,17 @@ class WordCorpusConfig(Config):
     # gives the word LM far more data than the acoustic corpus
     # (`run.sh:24-79` SRILM training; rnnlm recipes use SWBD+Fisher text)
     num_text_sents: int = 0
+    # optional silence (prepare_lang semantics): phone num_phones-1 is
+    # reserved as silence, inserted with this probability at utterance
+    # start and after every word (never in word_seqs/refs — it is not a
+    # word); 0 = off.  Decode handles it via the optional-silence chains
+    # of decode/graph_sparse.build_hclg_sparse(sil_phone=..., sil_prob=...)
+    silence_prob: float = 0.0
     seed: int = 0
+
+    @property
+    def silence_phone(self) -> int:
+        return self.num_phones - 1 if self.silence_prob > 0 else -1
 
 
 def make_word_corpus(cfg: WordCorpusConfig):
@@ -133,10 +143,15 @@ def make_word_corpus(cfg: WordCorpusConfig):
     # unique random pronunciations
     prons = {}
     seen = set()
+    # with optional silence, the last phone id is reserved for it and
+    # pronunciations draw from the rest
+    n_word_phones = (cfg.num_phones - 1 if cfg.silence_prob > 0
+                     else cfg.num_phones)
+    sil = cfg.silence_phone
     w = 0
     while w < cfg.vocab_size:
         n = rng.randint(cfg.min_pron, cfg.max_pron + 1)
-        pron = tuple(rng.randint(0, cfg.num_phones, size=n).tolist())
+        pron = tuple(rng.randint(0, n_word_phones, size=n).tolist())
         if pron in seen:
             continue
         seen.add(pron)
@@ -185,12 +200,21 @@ def make_word_corpus(cfg: WordCorpusConfig):
     for ui in range(cfg.num_utts):
         n_words = rng.randint(cfg.min_words, cfg.max_words + 1)
         words = sample_words(n_words)
-        phones = [p for wd in words for p in prons[wd]]
+        if cfg.silence_prob > 0:
+            phones = [sil] if rng.rand() < cfg.silence_prob else []
+            for wd in words:
+                phones.extend(prons[wd])
+                if rng.rand() < cfg.silence_prob:
+                    phones.append(sil)
+        else:
+            phones = [p for wd in words for p in prons[wd]]
         begins, ends, pdfs, lctx = [], [], [], []
         t = 0
         prev = -1
         for p in phones:
-            dur = 1 + rng.geometric(1.0 / cfg.mean_dur)
+            # silence runs longer than speech phones (pauses)
+            md = 2.0 * cfg.mean_dur if p == sil else cfg.mean_dur
+            dur = 1 + rng.geometric(1.0 / md)
             begins.append(t)
             ends.append(t + dur - 1)
             pdfs.append(tree.forward_pdf(p))

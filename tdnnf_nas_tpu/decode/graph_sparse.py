@@ -106,29 +106,43 @@ def build_hclg_sparse(
     topo,
     tree,
     lm_scale: float = 1.0,
+    sil_phone: int = -1,
+    sil_prob: float = 0.0,
 ) -> SparseDecodingGraph:
     """Expand the backoff n-gram G through the lexicon into a sparse graph.
 
     ``word_sym[w]`` is word id w's string in the LM; words in the lexicon
     missing from the LM's unigrams are skipped (OOV handling = the
     reference's lexicon/LM intersection in prepare_lang).
+
+    ``sil_phone``/``sil_prob`` enable Kaldi `prepare_lang.sh` optional
+    silence: after every word (and at utterance start) silence may be
+    traversed with probability ``sil_prob``, carrying no word label and no
+    LM cost.  Junctions are split by a preceded-by-silence flag so the
+    NEXT word's cross-word left context is the silence phone on silence
+    paths and the predecessor word's final phone otherwise — the exact
+    context treatment Kaldi gets from C composition over L's silence arcs.
     """
     a = float(topo.self_loop_prob)
     ln_a, ln_na = math.log(a), math.log(1.0 - a)
     tctx = getattr(tree, "context_width", 1) - 1
+    use_sil = sil_phone >= 0 and sil_prob > 0.0
+    ln_sil = math.log(sil_prob) if use_sil else 0.0
+    ln_nosil = math.log(1.0 - sil_prob) if use_sil else 0.0
 
     ctx_states = _lm_states(lm)
     n_ctx = len(ctx_states)
+    n_junc = 2 * n_ctx if use_sil else n_ctx  # [n_ctx:) = after-silence
     sym_to_id = {s: w for w, s in enumerate(word_sym)}
 
     # ---- state allocation ----
-    # junctions first [0..n_ctx), then per-(ngram-arc) pron chains
-    state_pdf: List[int] = [-1] * n_ctx
+    # junctions first [0..n_junc), then per-(ngram-arc) pron chains
+    state_pdf: List[int] = [-1] * n_junc
     arcs_src: List[int] = []
     arcs_dst: List[int] = []
     arcs_w: List[float] = []
     arcs_word: List[int] = []
-    final_w = np.full((n_ctx,), _NEG, np.float64)
+    final_w = np.full((n_junc,), _NEG, np.float64)
 
     def add_arc(src: int, dst: int, w: float, word: int = -1):
         arcs_src.append(src)
@@ -152,7 +166,7 @@ def build_hclg_sparse(
         pron = lexicon.prons[wid]
         return tuple(reversed(pron))[:tctx]
 
-    n_states = n_ctx
+    n_states = n_junc
     # group ngrams by context for locality
     by_ctx: Dict[Tuple[str, ...], List[str]] = {}
     for ng in lm.logprobs:
@@ -200,9 +214,33 @@ def build_hclg_sparse(
             pdfseq_cache[key] = seq
         return seq
 
-    def chain_for(pdfs: Tuple[int, ...], j_dst: int) -> int:
+    sil_cache: Dict[Tuple[int, int], int] = {}
+
+    def sil_chain_for(left_phone: int, j_dst: int) -> int:
+        """Optional-silence chain: exits to the after-silence junction."""
         nonlocal n_states
-        key = (pdfs, j_dst)
+        key = (left_phone, j_dst)
+        base = sil_cache.get(key)
+        if base is None:
+            base = n_states
+            n_states += 2
+            l = (left_phone,)[:tctx] if left_phone >= 0 else ()
+            if rctx:
+                e_pdf = int(tree.forward_pdf_ctx(sil_phone, l, right=-1))
+            else:
+                e_pdf = int(tree.forward_pdf_ctx(sil_phone, l))
+            state_pdf.extend([e_pdf, int(tree.self_loop_pdf(sil_phone))])
+            j_sil = n_ctx + j_dst
+            add_arc(base, base + 1, ln_a)
+            add_arc(base, j_sil, ln_na)
+            add_arc(base + 1, base + 1, ln_a)
+            add_arc(base + 1, j_sil, ln_na)
+            sil_cache[key] = base
+        return base
+
+    def chain_for(pdfs: Tuple[int, ...], last_phone: int, j_dst: int) -> int:
+        nonlocal n_states
+        key = (pdfs, last_phone, j_dst) if use_sil else (pdfs, j_dst)
         base = chain_cache.get(key)
         if base is None:
             base = n_states
@@ -211,22 +249,38 @@ def build_hclg_sparse(
             state_pdf.extend(pdfs)
             for i in range(n):
                 e, l = base + 2 * i, base + 2 * i + 1
-                nxt = base + 2 * (i + 1) if i + 1 < n else j_dst
+                if i + 1 < n:
+                    nxt = base + 2 * (i + 1)
+                    add_arc(e, l, ln_a)
+                    add_arc(e, nxt, ln_na)
+                    add_arc(l, l, ln_a)
+                    add_arc(l, nxt, ln_na)
+                    continue
                 add_arc(e, l, ln_a)
-                add_arc(e, nxt, ln_na)
                 add_arc(l, l, ln_a)
-                add_arc(l, nxt, ln_na)
+                if use_sil:
+                    # word-final exits: straight on, or through silence
+                    sil = sil_chain_for(last_phone, j_dst)
+                    for src in (e, l):
+                        add_arc(src, j_dst, ln_na + ln_nosil)
+                        add_arc(src, sil, ln_na + ln_sil)
+                else:
+                    add_arc(e, j_dst, ln_na)
+                    add_arc(l, j_dst, ln_na)
             chain_cache[key] = base
         return base
 
+    sil_left = (sil_phone,)[:tctx] if use_sil else ()
     for ctx, words in by_ctx.items():
         j_src = ctx_states[ctx]
         cross_left = left_of_ctx(ctx)
         for wsym in words:
             if wsym == EOS:
-                final_w[j_src] = max(
-                    final_w[j_src],
-                    lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10)
+                w_eos = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
+                final_w[j_src] = max(final_w[j_src], w_eos)
+                if use_sil:
+                    final_w[n_ctx + j_src] = max(final_w[n_ctx + j_src],
+                                                 w_eos)
                 continue
             if wsym == BOS:
                 continue
@@ -235,19 +289,34 @@ def build_hclg_sparse(
                 continue
             j_dst = dest_ctx(ctx, wsym)
             lm_w = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
-            base = chain_for(pdf_seq(wid, cross_left), j_dst)
+            last = int(lexicon.prons[wid][-1])
+            base = chain_for(pdf_seq(wid, cross_left), last, j_dst)
             # entry arc: junction -> chain (word label + LM weight, pushed)
             add_arc(j_src, base, lm_w, wid)
+            if use_sil:
+                # after-silence twin: next word starts with silence as its
+                # cross-word left context
+                base_s = chain_for(pdf_seq(wid, sil_left), last, j_dst)
+                add_arc(n_ctx + j_src, base_s, lm_w, wid)
 
     # backoff arcs
     for ctx, sid in ctx_states.items():
         if ctx:
             bow = lm.backoffs.get(ctx, 0.0)
             add_arc(sid, ctx_states[ctx[1:]], lm_scale * bow * _LN10)
+            if use_sil:
+                add_arc(n_ctx + sid, n_ctx + ctx_states[ctx[1:]],
+                        lm_scale * bow * _LN10)
+
+    if use_sil:
+        # utterance-initial silence: start junction -> silence -> its own
+        # after-silence twin (prepare_lang's <s> sil option)
+        j_start = ctx_states.get((BOS,), ctx_states[()])
+        add_arc(j_start, sil_chain_for(-1, j_start), ln_sil)
 
     # pad final_w to all states
     fw = np.full((n_states,), _NEG, np.float32)
-    fw[: n_ctx] = final_w
+    fw[: n_junc] = final_w
 
     src = np.asarray(arcs_src, np.int64)
     order = np.argsort(src, kind="stable")
