@@ -35,6 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 N_TEST = 60
+# E2E_SILENCE=1: optional-silence variant (silence corpus + silence-aware
+# HCLG, prepare_lang semantics) -> docs/e2e_wer_sil.json
+SILENCE = os.environ.get("E2E_SILENCE", "") == "1"
 
 
 def build_setup():
@@ -46,10 +49,11 @@ def build_setup():
                                                      prepare_data)
 
     cfg = WordCorpusConfig(
-        vocab_size=300, num_phones=30, feat_dim=24, num_utts=720,
+        vocab_size=300, num_phones=31 if SILENCE else 30, feat_dim=24,
+        num_utts=720,
         min_words=4, max_words=12, min_pron=2, max_pron=5, mean_dur=3.5,
         emission_noise=1.3, context_shift=1.0, num_speakers=8,
-        speaker_shift=1.0, seed=0)
+        speaker_shift=1.0, silence_prob=0.3 if SILENCE else 0.0, seed=0)
     utts, prons, word_seqs, phone_seqs, _, topo = make_word_corpus(cfg)
     test, train = utts[:N_TEST], utts[N_TEST:]
     train_phones = [u.phones for u in train]
@@ -129,7 +133,9 @@ def run_base():
     lm3 = estimate_ngram_lm(train_text, order=3)
     lm4 = estimate_ngram_lm(train_text, order=4)
     t0 = time.time()
-    g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree)
+    g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree,
+                          sil_phone=cfg.silence_phone,
+                          sil_prob=0.3 if SILENCE else 0.0)
     print(f"[4] HCLG: {g.num_states} states, {g.num_arcs} arcs "
           f"({time.time() - t0:.0f}s)", flush=True)
     t0 = time.time()
@@ -157,8 +163,10 @@ def run_base():
     try:
         from tdnnf_nas_tpu.lm.rnnlm import RnnLMConfig, train_rnnlm, RnnLMScorer
 
+        # tdnn-lstmp rescorer shape (embed/cell/rpd + splice), the
+        # reference architecture at reduced scale
         rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size, embed_dim=64,
-                             hidden_dim=128)
+                             hidden_dim=128, proj_dim=64, tdnn_splice=True)
         rnn_params, _ = train_rnnlm(word_seqs[N_TEST:], rl_cfg, num_steps=400,
                                     batch_size=32, seed=0)
         scorer = RnnLMScorer(rl_cfg, rnn_params)
@@ -178,6 +186,7 @@ def run_base():
                    "noise": cfg.emission_noise,
                    "speakers": cfg.num_speakers},
         "gmm_bootstrap": True,
+        "silence": SILENCE,
         "tree_pdfs": int(tree.num_pdfs),
         "den_states": int(bundle.den_fsa.num_states),
         "train_objf_mmi": round(float(objf), 4),
@@ -188,7 +197,8 @@ def run_base():
                               if wer_rnn is not None else None),
     }
     os.makedirs("docs", exist_ok=True)
-    with open("docs/e2e_wer.json", "w") as f:
+    with open("docs/e2e_wer_sil.json" if SILENCE else "docs/e2e_wer.json",
+              "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
     return cfg, utts, prons, word_seqs, bundle, tree, topo, test, g, lm3
@@ -214,7 +224,9 @@ def run_search(shared=None):
         word_sym = [f"w{w}" for w in range(cfg.vocab_size)]
         lm3 = estimate_ngram_lm(
             [[word_sym[w] for w in ws] for ws in word_seqs[N_TEST:]], order=3)
-        g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree)
+        g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree,
+                          sil_phone=cfg.silence_phone,
+                          sil_prob=0.3 if SILENCE else 0.0)
     else:
         cfg, utts, prons, word_seqs, bundle, tree, topo, test, g, lm3 = shared
     mc = model_config(tree, cfg)

@@ -28,8 +28,21 @@ class RnnLMConfig(Config):
     vocab_size: int = 100  # real words; BOS/EOS appended internally
     embed_dim: int = 64
     hidden_dim: int = 128
+    # LSTMP recurrent projection (Kaldi-RNNLM "rpd"; the reference rescorer
+    # is embed 1024 / cell 2048 / rpd 512,
+    # local/rnnlm/run_tdnn_lstm_fbk40_mod_hasfisher_large_drop_e40.sh:27-36);
+    # 0 = plain LSTM (projection off)
+    proj_dim: int = 0
+    # TDNN splice layer over embeddings before the LSTM (the "tdnn" in the
+    # reference's tdnn-lstm rescorer): ReLU(W [x_{t-1}; x_t]); off by default
+    tdnn_splice: bool = False
     dropout: float = 0.15  # reference uses 0.15
     tie_embeddings: bool = False
+
+    @property
+    def rec_dim(self) -> int:
+        """Recurrent state width seen by the gates / output layer."""
+        return self.proj_dim or self.hidden_dim
 
     @property
     def bos(self) -> int:
@@ -45,36 +58,54 @@ class RnnLMConfig(Config):
 
 
 def init_rnnlm(cfg: RnnLMConfig, key: jax.Array):
-    k = jax.random.split(key, 5)
-    v, e, h = cfg.full_vocab, cfg.embed_dim, cfg.hidden_dim
+    k = jax.random.split(key, 6)
+    v, e, h, r = cfg.full_vocab, cfg.embed_dim, cfg.hidden_dim, cfg.rec_dim
     params = {
         "embed": jax.random.normal(k[0], (v, e)) * 0.1,
         "lstm": {
             "wx": jax.random.normal(k[1], (e, 4 * h)) / np.sqrt(e),
-            "wh": jax.random.normal(k[2], (h, 4 * h)) / np.sqrt(h),
+            "wh": jax.random.normal(k[2], (r, 4 * h)) / np.sqrt(r),
             "b": jnp.zeros((4 * h,)),
         },
         "out": {
-            "w": jax.random.normal(k[3], (h, v)) / np.sqrt(h),
+            "w": jax.random.normal(k[3], (r, v)) / np.sqrt(r),
             "b": jnp.zeros((v,)),
         },
     }
+    if cfg.proj_dim:
+        params["lstm"]["wp"] = jax.random.normal(k[4], (h, r)) / np.sqrt(h)
+    if cfg.tdnn_splice:
+        params["tdnn"] = {
+            "w": jax.random.normal(k[5], (2 * e, e)) / np.sqrt(2 * e),
+            "b": jnp.zeros((e,)),
+        }
     return params
 
 
+def _lstm_cell(params, h, c, x_t):
+    """One (optionally projected) LSTM step: returns (h_rec, c).  With a
+    projection matrix wp the recurrent/output state is h = (o*tanh(c))@wp
+    (Sak et al. LSTMP, Kaldi-RNNLM's rpd)."""
+    lstm = params["lstm"]
+    gates = x_t @ lstm["wx"] + h @ lstm["wh"] + lstm["b"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    m = jax.nn.sigmoid(o) * jnp.tanh(c)
+    wp = lstm.get("wp")
+    return (m @ wp if wp is not None else m), c
+
+
 def _lstm_scan(params, x, h0=None, c0=None):
-    """x [B,T,E] -> hidden [B,T,H]."""
+    """x [B,T,E] -> recurrent states [B,T,R]."""
     b, t, _ = x.shape
-    h_dim = params["lstm"]["wh"].shape[0]
-    h = jnp.zeros((b, h_dim)) if h0 is None else h0
+    h_dim = params["lstm"]["wx"].shape[1] // 4
+    r_dim = params["lstm"]["wh"].shape[0]
+    h = jnp.zeros((b, r_dim)) if h0 is None else h0
     c = jnp.zeros((b, h_dim)) if c0 is None else c0
 
     def step(carry, x_t):
         h, c = carry
-        gates = x_t @ params["lstm"]["wx"] + h @ params["lstm"]["wh"] + params["lstm"]["b"]
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        h, c = _lstm_cell(params, h, c, x_t)
         return (h, c), h
 
     (_, _), hs = jax.lax.scan(step, (h, c), jnp.moveaxis(x, 1, 0))
@@ -89,6 +120,11 @@ def rnnlm_logits(cfg: RnnLMConfig, params, tokens: jax.Array,
         keep = 1.0 - cfg.dropout
         mask = jax.random.bernoulli(dropout_key, keep, x.shape)
         x = x * mask / keep
+    if cfg.tdnn_splice:
+        # ReLU splice over (x_{t-1}, x_t); t=0 repeats the first frame
+        prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        x = jax.nn.relu(jnp.concatenate([prev, x], axis=-1)
+                        @ params["tdnn"]["w"] + params["tdnn"]["b"])
     h = _lstm_scan(params, x)
     if cfg.tie_embeddings:
         return h @ params["embed"].T
@@ -187,21 +223,22 @@ class RnnLMScorer:
         return float(self._score_jit(self.params, inp, tgt)[0]) * _LOG10E
 
     # -- incremental API (lattice rescoring, decode/lattice.py) ----------
-    # A state is (h [H], c [H], logp [V]) after consuming some prefix;
-    # natural-log scores (the lattice works in ln).
+    # A state is (h [R], c [H], prev_x [E], logp [V]) after consuming some
+    # prefix; natural-log scores (the lattice works in ln).
 
-    def _step_fn(self, params, h, c, token):
+    def _step_fn(self, params, h, c, prev_x, token):
         x = params["embed"][token]
-        gates = (x @ params["lstm"]["wx"] + h @ params["lstm"]["wh"]
-                 + params["lstm"]["b"])
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        x_in = x
+        if self.cfg.tdnn_splice:
+            x_in = jax.nn.relu(
+                jnp.concatenate([prev_x, x]) @ params["tdnn"]["w"]
+                + params["tdnn"]["b"])
+        h, c = _lstm_cell(params, h, c, x_in)
         if self.cfg.tie_embeddings:
             logits = h @ params["embed"].T
         else:
             logits = h @ params["out"]["w"] + params["out"]["b"]
-        return h, c, jax.nn.log_softmax(logits)
+        return h, c, x, jax.nn.log_softmax(logits)
 
     @property
     def _step_jit(self):
@@ -210,23 +247,26 @@ class RnnLMScorer:
         return self._step_cache
 
     def initial_state(self):
-        hdim = self.params["lstm"]["wh"].shape[0]
-        h = jnp.zeros((hdim,))
-        c = jnp.zeros((hdim,))
-        h, c, lp = self._step_jit(self.params, h, c, jnp.asarray(self.cfg.bos))
-        return (h, c, np.asarray(lp))
+        h = jnp.zeros((self.cfg.rec_dim,))
+        c = jnp.zeros((self.cfg.hidden_dim,))
+        # BOS has no predecessor embedding: splice repeats it (same
+        # convention as the batch path's first frame)
+        x0 = self.params["embed"][self.cfg.bos]
+        h, c, px, lp = self._step_jit(self.params, h, c, x0,
+                                      jnp.asarray(self.cfg.bos))
+        return (h, c, px, np.asarray(lp))
 
     def advance(self, state, word: int):
         """(ln P(word | prefix), state after consuming word)."""
-        h, c, lp = state
+        h, c, px, lp = state
         logp = float(lp[int(word)])
-        h2, c2, lp2 = self._step_jit(self.params, h, c,
-                                     jnp.asarray(int(word)))
-        return logp, (h2, c2, np.asarray(lp2))
+        h2, c2, px2, lp2 = self._step_jit(self.params, h, c, px,
+                                          jnp.asarray(int(word)))
+        return logp, (h2, c2, px2, np.asarray(lp2))
 
     def final_logprob(self, state) -> float:
         """ln P(</s> | prefix)."""
-        return float(state[2][self.cfg.eos])
+        return float(state[-1][self.cfg.eos])
 
 
 def reverse_sentences(sents: Sequence[Sequence[int]]):

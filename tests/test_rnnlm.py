@@ -70,3 +70,32 @@ def test_bidirectional_rescoring():
     rescored = rescore_nbest(nbest, wlm, bi, lm_scale=1.0,
                              word_to_token=lambda w: w)
     assert rescored[0][0] == [2, 3, 4]
+
+
+def test_tdnn_lstmp_variant_and_incremental_parity():
+    """Projected LSTM (Kaldi-RNNLM rpd) + TDNN splice: the reference
+    rescorer's architecture (embed/cell/rpd,
+    run_tdnn_lstm_fbk40_mod_hasfisher_large_drop_e40.sh:27-36).  The
+    incremental (lattice) scorer must agree with the batch scorer."""
+    import math
+
+    rng = np.random.RandomState(4)
+    sents = _patterned_sentences(rng)
+    cfg = RnnLMConfig(vocab_size=10, embed_dim=16, hidden_dim=48,
+                      proj_dim=24, tdnn_splice=True, dropout=0.0)
+    params, ppl = train_rnnlm(sents, cfg, num_steps=200, batch_size=16,
+                              lr=5e-3)
+    assert ppl < 5.0, ppl
+    # projection shape: recurrent state is proj_dim wide
+    assert params["lstm"]["wp"].shape == (48, 24)
+    assert params["lstm"]["wh"].shape == (24, 4 * 48)
+    scorer = RnnLMScorer(cfg, params)
+    words = [3, 4, 5, 6]
+    batch_ln = scorer.score(words) * math.log(10.0)  # score() is log10
+    state = scorer.initial_state()
+    inc_ln = 0.0
+    for w in words:
+        lp, state = scorer.advance(state, w)
+        inc_ln += lp
+    inc_ln += scorer.final_logprob(state)
+    np.testing.assert_allclose(inc_ln, batch_ln, rtol=1e-4, atol=1e-4)
