@@ -24,11 +24,13 @@ explicit non-emitting junction states and backoff (epsilon) arcs:
 
 Emitting states carry one pdf each (state-emitting convention shared with
 training); acoustic scores are added on ARRIVAL at an emitting state.
-Within-word left context is exact; cross-word word-initial context uses the
-predecessor word's final phone when the G context knows it (non-empty
-history) and BOS at the unigram state — exact for every arc out of a
-bigram+ context, the only delta vs Kaldi's full C composition (documented
-here; the unigram state is rarely hypothesized mid-utterance).
+Cross-word left context is EXACT everywhere: arcs out of a non-empty G
+context use the history word's final phone, and the unigram (empty)
+context is split into per-predecessor-final-phone junction variants so
+backoff paths keep their true left context too — the same result as
+Kaldi's full C composition.  With +-1 trees the word-final RIGHT context
+uses the unseen class r=-1 (see pdf_seq; the remaining documented
+approximation).
 
 The companion time-synchronous beam decoder lives in decode/beam.py; this
 graph is consumed on the host (the TPU computes the acoustic log-probs —
@@ -132,8 +134,24 @@ def build_hclg_sparse(
 
     ctx_states = _lm_states(lm)
     n_ctx = len(ctx_states)
-    n_junc = 2 * n_ctx if use_sil else n_ctx  # [n_ctx:) = after-silence
+    n_junc0 = 2 * n_ctx if use_sil else n_ctx  # [n_ctx:) = after-silence
     sym_to_id = {s: w for w, s in enumerate(word_sym)}
+
+    # The unigram (empty-context) junction is split by predecessor final
+    # phone, so backoff paths keep their TRUE cross-word left context
+    # instead of the BOS class — cross-word left context is then exact
+    # everywhere (what Kaldi gets from full C composition).  Variant
+    # junctions live after the flag blocks; the after-silence twin stays
+    # single (its left context is the silence phone regardless).
+    last_phone_of: Dict[str, int] = {}
+    for _w, _s in enumerate(word_sym):
+        _pron = lexicon.prons.get(_w)
+        if _pron:
+            last_phone_of[_s] = int(_pron[-1])
+    uni_j: Dict[int, int] = {-1: ctx_states[()]}
+    for _i, _lp in enumerate(sorted(set(last_phone_of.values()))):
+        uni_j[_lp] = n_junc0 + _i
+    n_junc = n_junc0 + len(uni_j) - 1
 
     # ---- state allocation ----
     # junctions first [0..n_junc), then per-(ngram-arc) pron chains
@@ -150,11 +168,18 @@ def build_hclg_sparse(
         arcs_w.append(w)
         arcs_word.append(word)
 
-    def dest_ctx(ctx: Tuple[str, ...], w: str) -> int:
+    def dest_id(ctx: Tuple[str, ...], w: str) -> Tuple[int, int]:
+        """(flag-0 destination junction [unigram variants resolved by the
+        consumed word's final phone], base context sid for the flag-1
+        twin)."""
         nxt = (ctx + (w,))[-(lm.order - 1):] if lm.order > 1 else ()
         while nxt not in ctx_states:
             nxt = nxt[1:]
-        return ctx_states[nxt]
+        if nxt:
+            sid = ctx_states[nxt]
+            return sid, sid
+        lp = last_phone_of.get(w, -1)
+        return uni_j.get(lp, ctx_states[()]), ctx_states[()]
 
     def left_of_ctx(ctx: Tuple[str, ...]) -> Tuple[int, ...]:
         """Cross-word left phone context from the last history word."""
@@ -216,10 +241,11 @@ def build_hclg_sparse(
 
     sil_cache: Dict[Tuple[int, int], int] = {}
 
-    def sil_chain_for(left_phone: int, j_dst: int) -> int:
-        """Optional-silence chain: exits to the after-silence junction."""
+    def sil_chain_for(left_phone: int, j_base: int) -> int:
+        """Optional-silence chain: exits to the after-silence twin of the
+        BASE context junction (silence resets left context)."""
         nonlocal n_states
-        key = (left_phone, j_dst)
+        key = (left_phone, j_base)
         base = sil_cache.get(key)
         if base is None:
             base = n_states
@@ -230,7 +256,7 @@ def build_hclg_sparse(
             else:
                 e_pdf = int(tree.forward_pdf_ctx(sil_phone, l))
             state_pdf.extend([e_pdf, int(tree.self_loop_pdf(sil_phone))])
-            j_sil = n_ctx + j_dst
+            j_sil = n_ctx + j_base
             add_arc(base, base + 1, ln_a)
             add_arc(base, j_sil, ln_na)
             add_arc(base + 1, base + 1, ln_a)
@@ -238,7 +264,8 @@ def build_hclg_sparse(
             sil_cache[key] = base
         return base
 
-    def chain_for(pdfs: Tuple[int, ...], last_phone: int, j_dst: int) -> int:
+    def chain_for(pdfs: Tuple[int, ...], last_phone: int, j_dst: int,
+                  j_base: int) -> int:
         nonlocal n_states
         key = (pdfs, last_phone, j_dst) if use_sil else (pdfs, j_dst)
         base = chain_cache.get(key)
@@ -260,7 +287,7 @@ def build_hclg_sparse(
                 add_arc(l, l, ln_a)
                 if use_sil:
                     # word-final exits: straight on, or through silence
-                    sil = sil_chain_for(last_phone, j_dst)
+                    sil = sil_chain_for(last_phone, j_base)
                     for src in (e, l):
                         add_arc(src, j_dst, ln_na + ln_nosil)
                         add_arc(src, sil, ln_na + ln_sil)
@@ -272,38 +299,53 @@ def build_hclg_sparse(
 
     sil_left = (sil_phone,)[:tctx] if use_sil else ()
     for ctx, words in by_ctx.items():
-        j_src = ctx_states[ctx]
-        cross_left = left_of_ctx(ctx)
+        base_sid = ctx_states[ctx]
+        if ctx:
+            # ordinary junction: one flag-0 source with its left context
+            srcs = [(base_sid, left_of_ctx(ctx))]
+        else:
+            # unigram junction: one source per predecessor-final-phone
+            srcs = [(jid, ((lp,)[:tctx] if lp >= 0 else ()))
+                    for lp, jid in uni_j.items()]
         for wsym in words:
             if wsym == EOS:
                 w_eos = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
-                final_w[j_src] = max(final_w[j_src], w_eos)
+                for jid, _cl in srcs:
+                    final_w[jid] = max(final_w[jid], w_eos)
                 if use_sil:
-                    final_w[n_ctx + j_src] = max(final_w[n_ctx + j_src],
-                                                 w_eos)
+                    final_w[n_ctx + base_sid] = max(final_w[n_ctx + base_sid],
+                                                    w_eos)
                 continue
             if wsym == BOS:
                 continue
             wid = sym_to_id.get(wsym)
             if wid is None or wid not in lexicon.prons:
                 continue
-            j_dst = dest_ctx(ctx, wsym)
+            j_dst, j_base = dest_id(ctx, wsym)
             lm_w = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
             last = int(lexicon.prons[wid][-1])
-            base = chain_for(pdf_seq(wid, cross_left), last, j_dst)
-            # entry arc: junction -> chain (word label + LM weight, pushed)
-            add_arc(j_src, base, lm_w, wid)
+            # entry arcs: junction -> chain (word label + LM weight, pushed)
+            for jid, cl in srcs:
+                base = chain_for(pdf_seq(wid, cl), last, j_dst, j_base)
+                add_arc(jid, base, lm_w, wid)
             if use_sil:
                 # after-silence twin: next word starts with silence as its
                 # cross-word left context
-                base_s = chain_for(pdf_seq(wid, sil_left), last, j_dst)
-                add_arc(n_ctx + j_src, base_s, lm_w, wid)
+                base_s = chain_for(pdf_seq(wid, sil_left), last, j_dst,
+                                   j_base)
+                add_arc(n_ctx + base_sid, base_s, lm_w, wid)
 
-    # backoff arcs
+    # backoff arcs; the final hop into the empty context targets the
+    # predecessor-final-phone variant so left context survives backoff
     for ctx, sid in ctx_states.items():
         if ctx:
             bow = lm.backoffs.get(ctx, 0.0)
-            add_arc(sid, ctx_states[ctx[1:]], lm_scale * bow * _LN10)
+            if len(ctx) == 1:
+                dst0 = uni_j.get(last_phone_of.get(ctx[0], -1),
+                                 ctx_states[()])
+            else:
+                dst0 = ctx_states[ctx[1:]]
+            add_arc(sid, dst0, lm_scale * bow * _LN10)
             if use_sil:
                 add_arc(n_ctx + sid, n_ctx + ctx_states[ctx[1:]],
                         lm_scale * bow * _LN10)

@@ -152,3 +152,35 @@ def test_parallel_decode_workers_match_serial(setup):
         ser = beam_decode_sparse(outs[i], g, **kw)
         assert words == ser.words
         assert lat is not None and lat.num_arcs == ser.lattice.num_arcs
+
+
+def test_unigram_backoff_keeps_true_left_context():
+    """Word pairs reachable only through the backoff (unigram) junction
+    still get word-initial pdfs keyed by the TRUE predecessor final phone:
+    the unigram junction is split per predecessor-final-phone (exact
+    cross-word left context everywhere, the full-C-composition behavior)."""
+    from tdnnf_nas_tpu.graphs.topology import BiphoneTree, ChainTopology
+
+    P = 4
+    tree = BiphoneTree(P)  # full table: every (left, phone) a distinct pdf
+    topo = ChainTopology(P)
+    prons = {0: (0, 1), 1: (2, 3), 2: (1, 2)}  # A, B, C
+    word_sym = ["A", "B", "C"]
+    # training text never contains the pair (A, B) -> decode of "A B" must
+    # traverse the backoff path through the unigram junction
+    text = [["A", "C"], ["C", "B"], ["B", "A"], ["A", "C"], ["C", "A"],
+            ["B", "C"], ["C", "B"], ["A", "C", "B", "A"]]
+    lm = estimate_ngram_lm(text, order=2)
+    assert ("A", "B") not in lm.logprobs
+    g = build_hclg_sparse(Lexicon(prons), lm, word_sym, topo, tree)
+
+    # oracle obs for "A B" with TRUE biphone context across the boundary
+    seq = [(0, -1), (1, 0), (2, 1), (3, 2)]  # (phone, left)
+    pdfs = []
+    for p, l in seq:
+        pdfs.append(tree.forward_pdf(p, l))
+        pdfs.append(tree.self_loop_pdf(p))
+    obs = np.full((len(pdfs), tree.num_pdfs), -10.0, np.float32)
+    obs[np.arange(len(pdfs)), pdfs] = 0.0
+    res = beam_decode_sparse(obs, g, beam=20.0, max_active=5000)
+    assert res.words == [0, 1], res.words
