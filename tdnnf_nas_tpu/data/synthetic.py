@@ -121,6 +121,10 @@ class WordCorpusConfig(Config):
     # gives the word LM far more data than the acoustic corpus
     # (`run.sh:24-79` SRILM training; rnnlm recipes use SWBD+Fisher text)
     num_text_sents: int = 0
+    # fraction of words that get a SECOND pronunciation (lexiconp.txt
+    # semantics; primary used with prob 0.7, the variant 0.3); the corpus
+    # then returns a decode.wfst.Lexicon (with .alt) in the prons slot
+    pron_variant_prob: float = 0.0
     # optional silence (prepare_lang semantics): phone num_phones-1 is
     # reserved as silence, inserted with this probability at utterance
     # start and after every word (never in word_seqs/refs — it is not a
@@ -157,6 +161,20 @@ def make_word_corpus(cfg: WordCorpusConfig):
         seen.add(pron)
         prons[w] = pron
         w += 1
+    alt_prons = None
+    if cfg.pron_variant_prob > 0:
+        alt_prons = {}
+        for wd in range(cfg.vocab_size):
+            if rng.rand() >= cfg.pron_variant_prob:
+                continue
+            for _try in range(20):
+                pron = list(prons[wd])
+                pron[rng.randint(len(pron))] = rng.randint(0, n_word_phones)
+                pron = tuple(pron)
+                if pron not in seen:
+                    seen.add(pron)
+                    alt_prons[wd] = [(prons[wd], 0.7), (pron, 0.3)]
+                    break
     # word source: dense Dirichlet bigram for small vocabularies (kept
     # verbatim so seeded tests reproduce); Zipf unigram + sparse random
     # successor sets at real-vocabulary scale (a [V,V] Dirichlet at 30k
@@ -200,14 +218,19 @@ def make_word_corpus(cfg: WordCorpusConfig):
     for ui in range(cfg.num_utts):
         n_words = rng.randint(cfg.min_words, cfg.max_words + 1)
         words = sample_words(n_words)
+        def pron_of(wd):
+            if alt_prons and wd in alt_prons and rng.rand() < 0.3:
+                return alt_prons[wd][1][0]
+            return prons[wd]
+
         if cfg.silence_prob > 0:
             phones = [sil] if rng.rand() < cfg.silence_prob else []
             for wd in words:
-                phones.extend(prons[wd])
+                phones.extend(pron_of(wd))
                 if rng.rand() < cfg.silence_prob:
                     phones.append(sil)
         else:
-            phones = [p for wd in words for p in prons[wd]]
+            phones = [p for wd in words for p in pron_of(wd)]
         begins, ends, pdfs, lctx = [], [], [], []
         t = 0
         prev = -1
@@ -238,8 +261,13 @@ def make_word_corpus(cfg: WordCorpusConfig):
                               pdf_align, words=words, speaker=spk))
     word_seqs = [u.words for u in utts]
     phone_seqs = [u.phones for u in utts]
+    prons_out = prons
+    if alt_prons:
+        from tdnnf_nas_tpu.decode.wfst import Lexicon
+
+        prons_out = Lexicon(prons, alt=alt_prons)
     if cfg.num_text_sents > 0:
         text = [sample_words(rng.randint(cfg.min_words, cfg.max_words + 1))
                 for _ in range(cfg.num_text_sents)]
-        return utts, prons, word_seqs, phone_seqs, tree, topo, text
-    return utts, prons, word_seqs, phone_seqs, tree, topo
+        return utts, prons_out, word_seqs, phone_seqs, tree, topo, text
+    return utts, prons_out, word_seqs, phone_seqs, tree, topo

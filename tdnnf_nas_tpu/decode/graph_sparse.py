@@ -144,12 +144,15 @@ def build_hclg_sparse(
     # junctions live after the flag blocks; the after-silence twin stays
     # single (its left context is the silence phone regardless).
     last_phone_of: Dict[str, int] = {}
+    _all_lps = set()
     for _w, _s in enumerate(word_sym):
         _pron = lexicon.prons.get(_w)
         if _pron:
-            last_phone_of[_s] = int(_pron[-1])
+            last_phone_of[_s] = int(_pron[-1])  # primary pron
+            for _vp, _ in lexicon.variants(_w):
+                _all_lps.add(int(_vp[-1]))
     uni_j: Dict[int, int] = {-1: ctx_states[()]}
-    for _i, _lp in enumerate(sorted(set(last_phone_of.values()))):
+    for _i, _lp in enumerate(sorted(_all_lps)):
         uni_j[_lp] = n_junc0 + _i
     n_junc = n_junc0 + len(uni_j) - 1
 
@@ -168,17 +171,16 @@ def build_hclg_sparse(
         arcs_w.append(w)
         arcs_word.append(word)
 
-    def dest_id(ctx: Tuple[str, ...], w: str) -> Tuple[int, int]:
+    def dest_id(ctx: Tuple[str, ...], w: str, lp: int) -> Tuple[int, int]:
         """(flag-0 destination junction [unigram variants resolved by the
-        consumed word's final phone], base context sid for the flag-1
-        twin)."""
+        consumed pronunciation's final phone ``lp``], base context sid for
+        the flag-1 twin)."""
         nxt = (ctx + (w,))[-(lm.order - 1):] if lm.order > 1 else ()
         while nxt not in ctx_states:
             nxt = nxt[1:]
         if nxt:
             sid = ctx_states[nxt]
             return sid, sid
-        lp = last_phone_of.get(w, -1)
         return uni_j.get(lp, ctx_states[()]), ctx_states[()]
 
     def left_of_ctx(ctx: Tuple[str, ...]) -> Tuple[int, ...]:
@@ -215,13 +217,13 @@ def build_hclg_sparse(
 
     rctx = getattr(tree, "right_context", 0)
 
-    def pdf_seq(wid: int, left: Tuple[int, ...]) -> Tuple[int, ...]:
-        key = (wid, left)
+    def pdf_seq(pron: Tuple[int, ...],
+                left: Tuple[int, ...]) -> Tuple[int, ...]:
+        key = (pron, left)
         seq = pdfseq_cache.get(key)
         if seq is None:
             out: List[int] = []
             l = left
-            pron = lexicon.prons[wid]
             for i, p in enumerate(pron):
                 if rctx:
                     # +-1 tree: within-word successor is exact; the
@@ -321,19 +323,21 @@ def build_hclg_sparse(
             wid = sym_to_id.get(wsym)
             if wid is None or wid not in lexicon.prons:
                 continue
-            j_dst, j_base = dest_id(ctx, wsym)
             lm_w = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
-            last = int(lexicon.prons[wid][-1])
-            # entry arcs: junction -> chain (word label + LM weight, pushed)
-            for jid, cl in srcs:
-                base = chain_for(pdf_seq(wid, cl), last, j_dst, j_base)
-                add_arc(jid, base, lm_w, wid)
-            if use_sil:
-                # after-silence twin: next word starts with silence as its
-                # cross-word left context
-                base_s = chain_for(pdf_seq(wid, sil_left), last, j_dst,
-                                   j_base)
-                add_arc(n_ctx + base_sid, base_s, lm_w, wid)
+            # one shared chain per pronunciation variant; ln(pron prob)
+            # folds into the entry arc (lexiconp.txt semantics)
+            for pron, ln_p in lexicon.variants(wid):
+                last = int(pron[-1])
+                j_dst, j_base = dest_id(ctx, wsym, last)
+                for jid, cl in srcs:
+                    base = chain_for(pdf_seq(pron, cl), last, j_dst, j_base)
+                    add_arc(jid, base, lm_w + ln_p, wid)
+                if use_sil:
+                    # after-silence twin: next word starts with silence as
+                    # its cross-word left context
+                    base_s = chain_for(pdf_seq(pron, sil_left), last, j_dst,
+                                       j_base)
+                    add_arc(n_ctx + base_sid, base_s, lm_w + ln_p, wid)
 
     # backoff arcs; the final hop into the empty context targets the
     # predecessor-final-phone variant so left context survives backoff

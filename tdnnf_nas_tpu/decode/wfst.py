@@ -20,7 +20,7 @@ the sparse graph path).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -30,13 +30,42 @@ from tdnnf_nas_tpu.graphs.topology import ChainTopology
 
 @dataclasses.dataclass
 class Lexicon:
-    """word id -> phone sequence (single pronunciation per word, round 1)."""
+    """word id -> phone sequence(s).
+
+    ``prons`` holds each word's PRIMARY pronunciation (what the dense
+    legacy builders and cross-word-left-context heuristics use).  ``alt``
+    optionally maps a word to its full list of (pronunciation, prob)
+    variants — Kaldi's lexiconp.txt (`utils/prepare_lang.sh` consumes
+    pronunciation probabilities); the sparse HCLG expands one shared chain
+    per variant with ln(prob) folded into the entry arc.  Wrapping an
+    existing Lexicon (``Lexicon(lex)``) is allowed so call sites can stay
+    ``Lexicon(prons)`` whether ``prons`` is a dict or a built lexicon.
+    """
 
     prons: Dict[int, Tuple[int, ...]]
+    alt: Dict[int, Sequence[Tuple[Tuple[int, ...], float]]] = None
+
+    def __post_init__(self):
+        if isinstance(self.prons, Lexicon):
+            inner = self.prons
+            self.prons = inner.prons
+            if self.alt is None:
+                self.alt = inner.alt
 
     @property
     def num_words(self) -> int:
         return len(self.prons)
+
+    def variants(self, w: int):
+        """[(pron, ln_prob)] — singleton [(primary, 0.0)] without alts."""
+        import math as _math
+
+        if self.alt and w in self.alt:
+            vs = self.alt[w]
+            tot = sum(p for _, p in vs)
+            return [(tuple(pr), _math.log(max(p / tot, 1e-10)))
+                    for pr, p in vs]
+        return [(tuple(self.prons[w]), 0.0)]
 
 
 @dataclasses.dataclass

@@ -81,3 +81,43 @@ def test_silence_graph_structure(sil_world):
     # silence pdfs present in the graph's emitting states
     sil_loop = tree.self_loop_pdf(cfg.silence_phone)
     assert (np.asarray(g.state_pdf) == sil_loop).any()
+
+
+def test_pronunciation_variants_decode():
+    """lexiconp.txt semantics: words with alternative pronunciations get
+    one shared chain per variant with ln(pron prob) on the entry arc;
+    utterances generated with either variant decode to the right words."""
+    cfg = WordCorpusConfig(vocab_size=14, num_phones=8, num_utts=60,
+                           min_words=3, max_words=7, pron_variant_prob=0.5,
+                           seed=7)
+    utts, lex, word_seqs, phone_seqs, tree, topo = make_word_corpus(cfg)
+    from tdnnf_nas_tpu.decode.wfst import Lexicon as _Lx
+
+    assert isinstance(lex, _Lx) and lex.alt  # corpus returned a Lexicon
+    assert any(len(lex.variants(w)) == 2 for w in range(cfg.vocab_size))
+    # some utterance actually used an alternative pronunciation
+    def used_alt(u):
+        i = 0
+        for wd in u.words:
+            n = len(lex.prons[wd])
+            for pron, _ in lex.variants(wd):
+                if tuple(u.phones[i:i + len(pron)]) == pron:
+                    if pron != tuple(lex.prons[wd]):
+                        return True
+                    i += len(pron)
+                    break
+            else:
+                return False
+        return False
+    assert any(used_alt(u) for u in utts)
+    word_sym = [f"w{w}" for w in range(cfg.vocab_size)]
+    lm = estimate_ngram_lm(
+        [[word_sym[w] for w in ws] for ws in word_seqs], order=3)
+    g = build_hclg_sparse(_Lx(lex), lm, word_sym, topo, tree)
+    refs, hyps = [], []
+    for utt, ws in list(zip(utts, word_seqs))[:15]:
+        res = beam_decode_sparse(_oracle_obs(utt, tree), g, beam=14.0)
+        refs.append(list(ws))
+        hyps.append(res.words)
+    rep = score_corpus(refs, hyps)
+    assert rep["wer"] == 0.0, rep
