@@ -83,44 +83,74 @@ def build_setup():
                      "speakers": cfg.num_speakers,
                      "lm_text_sents": len(text)}
 
+    # host-side bootstrap cache (GMM ladder + tree + i-vectors take ~30 min
+    # of pure CPU at full scale; deterministic given the corpus config, so
+    # retries after device-side failures skip straight to training)
+    import pickle
+
+    cache_path = ("/tmp/flagship_smoke_setup.pkl" if SMOKE
+                  else "/tmp/flagship_setup.pkl")
+    cached = None
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path, "rb") as f:
+                cached = pickle.load(f)
+            if cached.get("cfg") != repr(cfg):
+                cached = None
+        except Exception:
+            cached = None
+    if cached is not None:
+        for u, b, e in zip(train, cached["begins"], cached["ends"]):
+            u.begins, u.ends = b, e
+        tree = cached["tree"]
+        ivecs = cached["ivecs"]
+        OUT["gmm"] = cached["gmm"]
+        OUT["ivectors"] = cached["iv_diag"]
+        within = cached["iv_diag"]["within_spk_cos"]
+        between = cached["iv_diag"]["between_spk_cos"]
+        print(f"[1-3] bootstrap restored from {cache_path}", flush=True)
+
     # stage 1: GMM ladder (subset EM + full-corpus SAT alignment)
-    t0 = time.time()
-    _, ladder = bootstrap_alignments_gmm(
-        train, train_phones, cfg.num_phones,
-        speakers=[u.speaker for u in train],
-        ladder_cfg=GmmLadderConfig(
-            mono=MonoHmmConfig(num_iters=8, max_mix=2, mix_up_iters=(4,)),
-            tri_leaves=120 if SMOKE else 500, tri_em_iters=6,
-            splice_context=2, lda_dim=36,
-            lda_mllt_em_iters=5, sat_em_iters=4,
-            train_subset=80 if SMOKE else 800))
-    print(f"[1] GMM ladder: fmllr_gain={ladder.fmllr_gain:.3f} "
-          f"({time.time() - t0:.0f}s)", flush=True)
-    OUT["gmm"] = {"fmllr_gain": round(ladder.fmllr_gain, 3),
-                  "train_subset": 800, "seconds": round(time.time() - t0)}
-    _save()
+    if cached is None:
+        t0 = time.time()
+        _, ladder = bootstrap_alignments_gmm(
+            train, train_phones, cfg.num_phones,
+            speakers=[u.speaker for u in train],
+            ladder_cfg=GmmLadderConfig(
+                mono=MonoHmmConfig(num_iters=8, max_mix=2, mix_up_iters=(4,)),
+                tri_leaves=120 if SMOKE else 500, tri_em_iters=6,
+                splice_context=2, lda_dim=36,
+                lda_mllt_em_iters=5, sat_em_iters=4,
+                train_subset=80 if SMOKE else 800))
+        print(f"[1] GMM ladder: fmllr_gain={ladder.fmllr_gain:.3f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        OUT["gmm"] = {"fmllr_gain": round(ladder.fmllr_gain, 3),
+                      "train_subset": 800,
+                      "seconds": round(time.time() - t0)}
+        _save()
 
-    # stage 2: triphone tree + composed 4-gram den
-    t0 = time.time()
-    stats = accumulate_triphone_stats(
-        [u.feats for u in train], train_phones, [u.begins for u in train],
-        cfg.num_phones, cfg.frame_subsampling_factor)
-    tree = build_clustered_triphone_tree(
-        stats, num_leaves=(400 if SMOKE else 6034 - cfg.num_phones))
-    print(f"[2] tree: {tree.num_pdfs} pdfs ({time.time() - t0:.0f}s)",
-          flush=True)
+        # stage 2: triphone tree + composed 4-gram den
+        t0 = time.time()
+        stats = accumulate_triphone_stats(
+            [u.feats for u in train], train_phones, [u.begins for u in train],
+            cfg.num_phones, cfg.frame_subsampling_factor)
+        tree = build_clustered_triphone_tree(
+            stats, num_leaves=(400 if SMOKE else 6034 - cfg.num_phones))
+        print(f"[2] tree: {tree.num_pdfs} pdfs ({time.time() - t0:.0f}s)",
+              flush=True)
 
-    # stage 3: i-vectors (UBM on pooled subset frames, T-matrix EM,
-    # per-utterance extraction for train AND test)
-    t0 = time.time()
-    pool = np.concatenate([u.feats for u in train[:50 if SMOKE else 150]])[::2]
-    ubm = train_ubm(pool, UbmConfig(num_gauss=16 if SMOKE else 64,
-                                    em_iters=6))
-    t_mat = train_ivector_extractor(
-        [u.feats for u in train[:100 if SMOKE else 600]], ubm,
-        IvectorConfig(dim=100, em_iters=4))
-    all_feats = [u.feats for u in utts]
-    ivecs = extract_ivectors(all_feats, ubm, t_mat)
+        # stage 3: i-vectors (UBM on pooled subset frames, T-matrix EM,
+        # per-utterance extraction for train AND test)
+        t0 = time.time()
+        pool = np.concatenate(
+            [u.feats for u in train[:50 if SMOKE else 150]])[::2]
+        ubm = train_ubm(pool, UbmConfig(num_gauss=16 if SMOKE else 64,
+                                        em_iters=6))
+        t_mat = train_ivector_extractor(
+            [u.feats for u in train[:100 if SMOKE else 600]], ubm,
+            IvectorConfig(dim=100, em_iters=4))
+        all_feats = [u.feats for u in utts]
+        ivecs = extract_ivectors(all_feats, ubm, t_mat)
     iv_test, iv_train = ivecs[:N_TEST], ivecs[N_TEST:]
     # speaker separability diagnostic: mean within/between-speaker cosine
     spk = np.asarray([u.speaker for u in utts])
@@ -135,6 +165,22 @@ def build_setup():
     OUT["ivectors"] = {"dim": 100, "within_spk_cos": round(within, 3),
                        "between_spk_cos": round(between, 3)}
     _save()
+
+    if cached is None:
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump({
+                    "cfg": repr(cfg),
+                    "begins": [list(u.begins) for u in train],
+                    "ends": [list(u.ends) for u in train],
+                    "tree": tree,
+                    "ivecs": np.asarray(ivecs),
+                    "gmm": OUT["gmm"],
+                    "iv_diag": OUT["ivectors"],
+                }, f)
+            print(f"[1-3] bootstrap cached to {cache_path}", flush=True)
+        except Exception as e:
+            print(f"[1-3] cache save failed: {e!r}", flush=True)
 
     t0 = time.time()
     bundle = prepare_data(train, train_phones, tree, topo, cfg.num_phones,

@@ -159,7 +159,7 @@ def make_train_step(
     num_steps = trainer_cfg.optimizer.num_steps
 
     def loss_fn(params, alphas, bn_state, batch, key, dropout_key, tau,
-                dropout_p):
+                dropout_p, den):
         feats = batch["feats"]
         ivectors = batch.get("ivectors")
         sup: ChunkSupervision = batch["sup"]
@@ -192,7 +192,7 @@ def make_train_step(
             metrics["alpha_entropy"] = ent
         return loss, (metrics, new_bn)
 
-    def step_fn(state: TrainState, batch, key):
+    def step_fn(state: TrainState, batch, key, den_arg):
         tau = _tau_at(state.step, trainer_cfg, num_steps)
         dropout_p = _dropout_at(state.step, trainer_cfg, num_steps)
         step_key = jax.random.fold_in(key, state.step)
@@ -200,7 +200,7 @@ def make_train_step(
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
         (loss, (metrics, new_bn)), (g_params, g_alphas) = grad_fn(
             state.params, state.alphas, state.bn_state, batch, k_model,
-            k_dropout, tau, dropout_p
+            k_dropout, tau, dropout_p, den_arg
         )
         new_params, new_opt = state.params, state.opt_state
         if trainer_cfg.train_theta:
@@ -234,7 +234,16 @@ def make_train_step(
             metrics,
         )
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    # the den graph rides the jit boundary as an ARGUMENT: closed-over
+    # arrays are baked into the lowered module as constants, and at
+    # composed-den scale (S ~ 50k+, padded in-arc tables) the serialized
+    # module exceeded the remote compile service's request limit (HTTP 413)
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step(state: TrainState, batch, key):
+        return jitted(state, batch, key, den)
+
+    return step
 
 
 def make_valid_step(model_cfg, trainer_cfg: TrainerConfig, den: DenGraphArrays,
@@ -242,7 +251,7 @@ def make_valid_step(model_cfg, trainer_cfg: TrainerConfig, den: DenGraphArrays,
     """Eval-mode objective (stored BN stats, no sampling: fixed/softmax path),
     the compute_prob_valid equivalent (`train.py:590-627` diagnostics)."""
 
-    def valid_fn(state: TrainState, batch):
+    def valid_fn(state: TrainState, batch, den_arg):
         feats = batch["feats"]
         ivectors = batch.get("ivectors")
         sup = batch["sup"]
@@ -260,8 +269,13 @@ def make_valid_step(model_cfg, trainer_cfg: TrainerConfig, den: DenGraphArrays,
                 model_cfg, state.params, state.bn_state, feats, ivectors,
                 train=False,
             )
-        _, metrics = chain_objective(chain_out, xent_out, den, sup,
+        _, metrics = chain_objective(chain_out, xent_out, den_arg, sup,
                                      trainer_cfg.objective)
         return metrics
 
-    return jax.jit(valid_fn)
+    jitted = jax.jit(valid_fn)
+
+    def valid(state: TrainState, batch):
+        return jitted(state, batch, den)
+
+    return valid
