@@ -101,9 +101,41 @@ class AmGmm:
             return int(self.tie_table[phone, state, left + 1])
         return phone * self.states_per_phone + state
 
+    def _packed(self):
+        """All mixture components of all states packed into flat arrays so
+        loglikes is one [T,D]x[D,C] BLAS pair + a segment logsumexp
+        instead of a Python loop over states (removes per-state call
+        overhead; flops unchanged).  Cached per AmGmm instance (EM builds
+        a fresh instance per iteration)."""
+        packed = getattr(self, "_packed_cache", None)
+        if packed is None:
+            iv = [1.0 / g.variances for g in self.gmms]
+            means = np.concatenate([g.means for g in self.gmms])
+            inv_var = np.concatenate(iv)
+            d = means.shape[1]
+            const = np.concatenate([
+                np.log(np.maximum(g.weights, 1e-30))
+                - 0.5 * (d * np.log(2 * np.pi)
+                         + np.log(g.variances).sum(axis=1)
+                         + ((g.means ** 2) / g.variances).sum(axis=1))
+                for g in self.gmms])
+            starts = np.cumsum([0] + [g.num_mix for g in self.gmms])
+            packed = (means * inv_var, inv_var, const, starts)
+            self._packed_cache = packed
+        return packed
+
     def loglikes(self, feats: np.ndarray) -> np.ndarray:
         """[T, D] -> [T, num_states]."""
-        return np.stack([g.loglike(feats) for g in self.gmms], axis=1)
+        mu_iv, inv_var, const, starts = self._packed()
+        # per-component log p(x, m), all states at once
+        scores = (const[None, :] + feats @ mu_iv.T
+                  - 0.5 * (feats ** 2) @ inv_var.T)  # [T, C]
+        # segment logsumexp over each state's components
+        seg = starts[:-1]
+        mx = np.maximum.reduceat(scores, seg, axis=1)
+        s = np.add.reduceat(np.exp(scores - np.repeat(
+            mx, np.diff(starts), axis=1)), seg, axis=1)
+        return mx + np.log(s)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -176,11 +176,14 @@ def estimate_fmllr(
     g = np.zeros((d, d + 1, d + 1))
     beta = 0.0
     for x, mu, iv in zip(feats_list, post_means, post_invvars):
-        xp = np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)  # [T, D+1]
-        beta += x.shape[0]
+        t = x.shape[0]
+        xp = np.concatenate([x, np.ones((t, 1))], axis=1)  # [T, D+1]
+        beta += t
         k += (mu * iv).T @ xp
-        for i in range(d):
-            g[i] += (iv[:, i][:, None] * xp).T @ xp
+        # G_i = xp^T diag(iv_i) xp for all i as ONE [D,T]x[T,(D+1)^2]
+        # BLAS call (the per-dimension loop dominated SAT estimation)
+        xsq = (xp[:, :, None] * xp[:, None, :]).reshape(t, (d + 1) ** 2)
+        g += (iv.T @ xsq).reshape(d, d + 1, d + 1)
     w = np.concatenate([np.eye(d), np.zeros((d, 1))], axis=1)
     gi_inv = [np.linalg.inv(g[i] + 1e-6 * np.eye(d + 1)) for i in range(d)]
     for _ in range(num_iters):
