@@ -266,7 +266,11 @@ def run_base():
     # stage 5: 30k-word trigram HCLG + parallel decode with lattices
     word_sym, lm3, lm4 = build_graph(cfg, prons, word_seqs, text)
     t0 = time.time()
-    g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree)
+    # compact unigram junction at 30k words: the exact per-left-phone
+    # split costs 2.2x states / ~15x decode time at this scale (see
+    # graph_sparse.build_hclg_sparse(split_unigram=...))
+    g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree,
+                          split_unigram=False)
     print(f"[5] HCLG: {g.num_states} states, {g.num_arcs} arcs "
           f"({time.time() - t0:.0f}s)", flush=True)
     OUT["hclg"] = {"states": int(g.num_states), "arcs": int(g.num_arcs),

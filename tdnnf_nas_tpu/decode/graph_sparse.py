@@ -110,6 +110,7 @@ def build_hclg_sparse(
     lm_scale: float = 1.0,
     sil_phone: int = -1,
     sil_prob: float = 0.0,
+    split_unigram: bool = True,
 ) -> SparseDecodingGraph:
     """Expand the backoff n-gram G through the lexicon into a sparse graph.
 
@@ -151,9 +152,15 @@ def build_hclg_sparse(
             last_phone_of[_s] = int(_pron[-1])  # primary pron
             for _vp, _ in lexicon.variants(_w):
                 _all_lps.add(int(_vp[-1]))
+    # split_unigram=False keeps ONE unigram junction (BOS left context on
+    # backoff paths — the round-2 approximation): at 30k words the exact
+    # split multiplies unigram-source chains by the live left-phone count
+    # (measured 8.7M -> 19M states, ~15x slower beam decode), so very
+    # large graphs may prefer the compact form
     uni_j: Dict[int, int] = {-1: ctx_states[()]}
-    for _i, _lp in enumerate(sorted(_all_lps)):
-        uni_j[_lp] = n_junc0 + _i
+    if split_unigram:
+        for _i, _lp in enumerate(sorted(_all_lps)):
+            uni_j[_lp] = n_junc0 + _i
     n_junc = n_junc0 + len(uni_j) - 1
 
     # ---- state allocation ----
