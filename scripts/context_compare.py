@@ -29,6 +29,9 @@ import numpy as np
 
 LEAVES = 400
 STEPS = 800
+# "sym": symmetric +-1 coarticulation corpus (right_context_shift on) ->
+# docs/context_compare_sym.json; default: the left-colored e2e corpus
+SYM = len(sys.argv) > 1 and sys.argv[1] == "sym"
 
 
 def main():
@@ -57,8 +60,10 @@ def main():
     cfg = WordCorpusConfig(
         vocab_size=300, num_phones=30, feat_dim=24, num_utts=720,
         min_words=4, max_words=12, min_pron=2, max_pron=5, mean_dur=3.5,
-        emission_noise=1.3, context_shift=1.0, num_speakers=8,
-        speaker_shift=1.0, seed=0)
+        emission_noise=1.3,
+        context_shift=0.8 if SYM else 1.0,
+        right_context_shift=0.8 if SYM else 0.0,
+        num_speakers=8, speaker_shift=1.0, seed=0)
     utts, prons, word_seqs, phone_seqs, _, topo = make_word_corpus(cfg)[:6]
     n_test = 60
     test, train = utts[:n_test], utts[n_test:]
@@ -77,6 +82,7 @@ def main():
         """Data log-likelihood of the clustered leaves (per-frame)."""
         p, rest = stats.counts.shape[0], int(np.prod(stats.counts.shape[1:]))
         d = stats.sums.shape[-1]
+        table = np.asarray(table).ravel()
         cnt = stats.counts.reshape(p * rest)
         sm = stats.sums.reshape(p * rest, d)
         ssq = stats.sumsqs.reshape(p * rest, d)
@@ -103,7 +109,9 @@ def main():
     tc = build_clustered_cross_triphone_tree(sc, num_leaves=LEAVES)
     contenders["pm1"] = (tc, cluster_ll(sc, tc._fwd_table, tc._n_fwd))
 
-    out = {"leaves": LEAVES, "steps": STEPS, "corpus": "e2e_wer 300-vocab",
+    out = {"leaves": LEAVES, "steps": STEPS,
+           "corpus": ("300-vocab, symmetric +-1 coarticulation" if SYM
+                      else "e2e_wer 300-vocab (left-1 coarticulation only)"),
            "table": {}}
     for name, (tree, ll) in contenders.items():
         t0 = time.time()
@@ -148,7 +156,9 @@ def main():
         }
         print(name, json.dumps(out["table"][name]), flush=True)
         os.makedirs("docs", exist_ok=True)
-        with open("docs/context_compare.json", "w") as f:
+        path = ("docs/context_compare_sym.json" if SYM
+                else "docs/context_compare.json")
+        with open(path, "w") as f:
             json.dump(out, f, indent=2)
 
 

@@ -112,6 +112,11 @@ class WordCorpusConfig(Config):
     # left-context coloring (coarticulation analogue, see
     # SyntheticCorpusConfig.context_shift)
     context_shift: float = 0.0
+    # RIGHT-neighbor coloring (anticipatory coarticulation): emission mean
+    # += right_context_shift * rshift[next_phone]; makes +-1 trees
+    # acoustically advantaged over left-only windows (the property real
+    # speech has that motivates Kaldi's l/p/r tri5_7d window)
+    right_context_shift: float = 0.0
     # per-speaker affine corruption of the features (what fMLLR/SAT adapt
     # away); 0 speakers = off
     num_speakers: int = 0
@@ -205,6 +210,7 @@ def make_word_corpus(cfg: WordCorpusConfig):
 
     means = rng.randn(tree.num_pdfs, cfg.feat_dim) * 2.0
     ctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
+    rctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
     spk_a = spk_b = None
     if cfg.num_speakers > 0:
         # per-speaker mild affine corruption: scale near 1, random shift
@@ -231,10 +237,10 @@ def make_word_corpus(cfg: WordCorpusConfig):
                     phones.append(sil)
         else:
             phones = [p for wd in words for p in pron_of(wd)]
-        begins, ends, pdfs, lctx = [], [], [], []
+        begins, ends, pdfs, lctx, rctx = [], [], [], [], []
         t = 0
         prev = -1
-        for p in phones:
+        for j, p in enumerate(phones):
             # silence runs longer than speech phones (pauses)
             md = 2.0 * cfg.mean_dur if p == sil else cfg.mean_dur
             dur = 1 + rng.geometric(1.0 / md)
@@ -243,6 +249,8 @@ def make_word_corpus(cfg: WordCorpusConfig):
             pdfs.append(tree.forward_pdf(p))
             pdfs.extend([tree.self_loop_pdf(p)] * (dur - 1))
             lctx.extend([prev] * dur)
+            nxt = phones[j + 1] if j + 1 < len(phones) else -1
+            rctx.extend([nxt] * dur)
             t += dur
             prev = p
         pdf_align = np.asarray(pdfs, np.int32)
@@ -253,6 +261,9 @@ def make_word_corpus(cfg: WordCorpusConfig):
         if cfg.context_shift > 0.0:
             feats = feats + cfg.context_shift * ctx_shift[
                 np.repeat(np.asarray(lctx) + 1, fs)]
+        if cfg.right_context_shift > 0.0:
+            feats = feats + cfg.right_context_shift * rctx_shift[
+                np.repeat(np.asarray(rctx) + 1, fs)]
         spk = ui % max(cfg.num_speakers, 1)
         if spk_a is not None:
             feats = feats * spk_a[spk] + spk_b[spk]
