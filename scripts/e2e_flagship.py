@@ -88,8 +88,14 @@ def build_setup():
     # retries after device-side failures skip straight to training)
     import pickle
 
-    cache_path = ("/tmp/flagship_smoke_setup.pkl" if SMOKE
-                  else "/tmp/flagship_setup.pkl")
+    # repo-local cache dir (NOT a fixed world-writable /tmp path: on a
+    # shared machine another user could plant a crafted pickle there)
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache_path = os.path.join(
+        cache_dir, "flagship_smoke_setup.pkl" if SMOKE
+        else "flagship_setup.pkl")
     cached = None
     if os.path.exists(cache_path):
         try:
@@ -108,6 +114,7 @@ def build_setup():
         OUT["ivectors"] = cached["iv_diag"]
         within = cached["iv_diag"]["within_spk_cos"]
         between = cached["iv_diag"]["between_spk_cos"]
+        t0 = time.time()  # stage 1-3 skipped; timing prints restart here
         print(f"[1-3] bootstrap restored from {cache_path}", flush=True)
 
     # stage 1: GMM ladder (subset EM + full-corpus SAT alignment)

@@ -24,13 +24,18 @@ explicit non-emitting junction states and backoff (epsilon) arcs:
 
 Emitting states carry one pdf each (state-emitting convention shared with
 training); acoustic scores are added on ARRIVAL at an emitting state.
-Cross-word left context is EXACT everywhere: arcs out of a non-empty G
-context use the history word's final phone, and the unigram (empty)
-context is split into per-predecessor-final-phone junction variants so
-backoff paths keep their true left context too — the same result as
-Kaldi's full C composition.  With +-1 trees the word-final RIGHT context
-uses the unseen class r=-1 (see pdf_seq; the remaining documented
-approximation).
+Cross-word left context is EXACT for single-pronunciation lexicons: arcs
+out of a non-empty G context use the history word's final phone, and the
+unigram (empty) context is split into per-predecessor-final-phone junction
+variants so backoff paths keep their true left context too — the same
+result as Kaldi's full C composition.  Two documented approximations vs
+Kaldi's exact per-pronunciation C composition remain: (a) with
+pronunciation VARIANTS, the propagated left context uses the PRIMARY
+pronunciation's final phone (left_of_ctx / last_phone_of below) — a word
+realized via an alternative pron whose final phone differs hands the next
+word that primary-final context (splitting junction sources per variant
+final phone, like the unigram split, would lift this); (b) with +-1 trees
+the word-final RIGHT context uses the unseen class r=-1 (see pdf_seq).
 
 The companion time-synchronous beam decoder lives in decode/beam.py; this
 graph is consumed on the host (the TPU computes the acoustic log-probs —
@@ -309,6 +314,13 @@ def build_hclg_sparse(
     sil_left = (sil_phone,)[:tctx] if use_sil else ()
     for ctx, words in by_ctx.items():
         base_sid = ctx_states[ctx]
+        # utterance-initial no-silence penalty: the start junction's
+        # initial-silence arc pays ln(sil_prob), so every flag-0 path that
+        # SKIPS initial silence (word arcs, EOS, backoff below) must pay
+        # ln(1-sil_prob) — mirroring the word-final exit treatment and
+        # Kaldi make_lexicon_fst silprob semantics (outgoing mass sums
+        # to 1 at the start junction)
+        startpen = ln_nosil if (use_sil and ctx == (BOS,)) else 0.0
         if ctx:
             # ordinary junction: one flag-0 source with its left context
             srcs = [(base_sid, left_of_ctx(ctx))]
@@ -320,7 +332,7 @@ def build_hclg_sparse(
             if wsym == EOS:
                 w_eos = lm_scale * lm.logprobs[ctx + (wsym,)] * _LN10
                 for jid, _cl in srcs:
-                    final_w[jid] = max(final_w[jid], w_eos)
+                    final_w[jid] = max(final_w[jid], w_eos + startpen)
                 if use_sil:
                     final_w[n_ctx + base_sid] = max(final_w[n_ctx + base_sid],
                                                     w_eos)
@@ -338,7 +350,7 @@ def build_hclg_sparse(
                 j_dst, j_base = dest_id(ctx, wsym, last)
                 for jid, cl in srcs:
                     base = chain_for(pdf_seq(pron, cl), last, j_dst, j_base)
-                    add_arc(jid, base, lm_w + ln_p, wid)
+                    add_arc(jid, base, lm_w + ln_p + startpen, wid)
                 if use_sil:
                     # after-silence twin: next word starts with silence as
                     # its cross-word left context
@@ -356,7 +368,9 @@ def build_hclg_sparse(
                                  ctx_states[()])
             else:
                 dst0 = ctx_states[ctx[1:]]
-            add_arc(sid, dst0, lm_scale * bow * _LN10)
+            # backoff out of the start junction also skips initial silence
+            bo_pen = ln_nosil if (use_sil and ctx == (BOS,)) else 0.0
+            add_arc(sid, dst0, lm_scale * bow * _LN10 + bo_pen)
             if use_sil:
                 add_arc(n_ctx + sid, n_ctx + ctx_states[ctx[1:]],
                         lm_scale * bow * _LN10)

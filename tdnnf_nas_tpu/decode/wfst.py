@@ -57,14 +57,25 @@ class Lexicon:
         return len(self.prons)
 
     def variants(self, w: int):
-        """[(pron, ln_prob)] — singleton [(primary, 0.0)] without alts."""
+        """[(pron, ln_prob)] — singleton [(primary, 0.0)] without alts.
+
+        Pronunciation probabilities are MAX-normalized per word (the most
+        likely variant costs 0), matching Kaldi's lexiconp.txt convention
+        (`utils/dict_dir_add_pronprobs.sh` normalizes so max prob = 1)
+        rather than sum-normalizing.  Cached per word — the HCLG build
+        loop calls this once per (word, arc source)."""
         import math as _math
 
         if self.alt and w in self.alt:
-            vs = self.alt[w]
-            tot = sum(p for _, p in vs)
-            return [(tuple(pr), _math.log(max(p / tot, 1e-10)))
+            cache = self.__dict__.setdefault("_var_cache", {})
+            got = cache.get(w)
+            if got is None:
+                vs = self.alt[w]
+                mx = max(p for _, p in vs)
+                got = cache[w] = [
+                    (tuple(pr), _math.log(max(p / mx, 1e-10)))
                     for pr, p in vs]
+            return got
         return [(tuple(self.prons[w]), 0.0)]
 
 
