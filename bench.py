@@ -31,10 +31,22 @@ import numpy as np
 KALDI_GPU_AUDIO_SEC_PER_S = 85.8  # 2574 h audio / 30 h wall, 1 GPU
 
 
-def _measure(step, state, batches, key, n_steps, prefetch=0):
-    """Time n_steps of `step` over `batches` (cycled); returns (dt, state, m)."""
-    import jax
+def _fetch(metrics):
+    """Force completion of the whole dependency chain by materializing a
+    COMPUTED scalar on the host.  On the remote (axon-tunnel) backend,
+    ``jax.block_until_ready`` returns before execution actually finishes —
+    the round-3 device-only number implied ~3 PFLOP/s and even a per-step
+    block still showed >100% MFU.  A value transfer cannot lie: the final
+    step's objf depends on every previous step's state, so fetching it
+    serializes the full chain."""
+    return float(metrics["objf_mmi"])
 
+
+def _measure(step, state, batches, key, n_steps, prefetch=0):
+    """Time n_steps of `step` over `batches` (cycled); returns (dt, state, m).
+
+    Timing closes with a host fetch of the last step's objf (see _fetch);
+    steps are chained through `state`, so this covers every execution."""
     from tdnnf_nas_tpu.parallel import prefetch_to_device
 
     def cycle(n):
@@ -51,8 +63,33 @@ def _measure(step, state, batches, key, n_steps, prefetch=0):
         if i >= n_steps:
             break
         state, m = step(state, b, key)
-    jax.block_until_ready(m)
+    _fetch(m)
     return time.perf_counter() - t0, state, m
+
+
+# peak dense bf16 FLOP/s per chip, by jax device_kind (public spec sheets)
+_PEAK_BF16 = {
+    "TPU v4": ("v4", 275e12),
+    "TPU v5 lite": ("v5e", 197e12),
+    "TPU v5": ("v5p", 459e12),
+    "TPU v5p": ("v5p", 459e12),
+    "TPU v6 lite": ("v6e (Trillium)", 918e12),
+}
+
+
+def _flops_per_step(step, state, dev_batch, key):
+    """XLA-counted FLOPs of one compiled train step (AOT cost analysis)."""
+    import jax
+
+    jitted = getattr(step, "_jitted", None)
+    den = getattr(step, "_den", None)
+    if jitted is None:
+        return None
+    ca = jitted.lower(state, dev_batch, key, den).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    f = float(ca.get("flops", 0.0))
+    return f if f > 0 else None
 
 
 def main():
@@ -122,6 +159,21 @@ def main():
         state, metrics = step(state, dev_batch, key)
     jax.block_until_ready(metrics)
 
+    # FLOPs + MFU accounting (VERDICT r3 #3): XLA-counted FLOPs of the
+    # compiled step vs the chip's peak dense bf16 FLOP/s
+    try:
+        flops_step = _flops_per_step(step, state, dev_batch, key)
+    except Exception as e:
+        print(f"# cost analysis unavailable: {e!r}", file=sys.stderr)
+        flops_step = None
+    kind = jax.devices()[0].device_kind
+    chip, peak = _PEAK_BF16.get(kind, (kind, None))
+
+    def mfu(dt_per_step):
+        if flops_step is None or peak is None:
+            return None
+        return flops_step / dt_per_step / peak
+
     # ---- headline: production den, input pipeline in the loop ----------
     # distinct batches streamed disk -> C++ parse/shuffle/prefetch ->
     # background device staging; falls back to host-RAM batches if the
@@ -155,7 +207,7 @@ def main():
         t0 = time.perf_counter()
         for b in prefetch_to_device(stream(n_steps), size=3):
             state, m_sus = step(state, b, key)
-        jax.block_until_ready(m_sus)
+        _fetch(m_sus)
         dt_sus = time.perf_counter() - t0
     except Exception as e:
         print(f"# native loader unavailable ({e!r}); host-RAM stream",
@@ -167,23 +219,34 @@ def main():
             loader.close()
     sustained = n_steps * audio_sec_per_step / dt_sus
 
-    # device-only secondary (batch resident on device)
+    # device-only secondary (batch resident on device, per-step completion:
+    # each step blocks on the new state before the next dispatch)
     dt_dev, state, m_dev = _measure(step, state, [dev_batch], key, n_steps)
     device_only = n_steps * audio_sec_per_step / dt_dev
 
+    mfu_sus = mfu(dt_sus / n_steps)
+    mfu_dev = mfu(dt_dev / n_steps)
     print(json.dumps({
         "metric": "lfmmi_train_throughput_4gram_triphone_den",
         "value": round(sustained, 2),
         "unit": "audio_sec/s/chip",
         "vs_baseline": round(sustained / KALDI_GPU_AUDIO_SEC_PER_S, 2),
+        "flops_per_step": flops_step,
+        "mfu": round(mfu_sus, 4) if mfu_sus is not None else None,
     }))
+    fmt_mfu = lambda v: f"{v:.1%}" if v is not None else "n/a"
     print(f"# production den (S={bundle.den_arrays.num_states}, "
           f"pdfs={tree.num_pdfs}): sustained(loader-in-loop)={sustained:.0f} "
-          f"({dt_sus / n_steps * 1e3:.1f} ms/step)  device_only="
-          f"{device_only:.0f} ({dt_dev / n_steps * 1e3:.1f} ms/step)  "
+          f"({dt_sus / n_steps * 1e3:.1f} ms/step, "
+          f"MFU {fmt_mfu(mfu_sus)})  device_only(chain-fetch)="
+          f"{device_only:.0f} ({dt_dev / n_steps * 1e3:.1f} ms/step, "
+          f"MFU {fmt_mfu(mfu_dev)})  "
           f"objf_mmi={float(m_sus['objf_mmi']):.4f}  "
           f"params={count_params(state.params):,}  "
-          f"backend={jax.default_backend()}", file=sys.stderr)
+          f"chip={chip} (peak bf16 "
+          f"{peak / 1e12:.0f} TFLOP/s)  flops/step="
+          f"{(flops_step or 0) / 1e9:.1f}G  "
+          f"i-vectors=synthetic", file=sys.stderr)
 
     out = {
         "den": "composed 4-gram x left-2 triphone (factored kernel)",
@@ -195,6 +258,14 @@ def main():
                                        2),
         "batch": batch_size,
         "chunk_width": chunk_width,
+        "chip": chip,
+        "peak_bf16_flops": peak,
+        "flops_per_step": flops_step,
+        "mfu_sustained": round(mfu_sus, 4) if mfu_sus is not None else None,
+        "mfu_device_only": round(mfu_dev, 4) if mfu_dev is not None else None,
+        "note": ("timings close with a host fetch of the final objf (the only sync the remote backend cannot under-report); "
+                 "i-vectors in the bench batch are synthetic (throughput "
+                 "only — the e2e runs use the real extractor)"),
     }
 
     # ---- secondary: biphone den (the round-1/2 headline config) --------

@@ -136,6 +136,23 @@ class WordCorpusConfig(Config):
     # word); 0 = off.  Decode handles it via the optional-silence chains
     # of decode/graph_sparse.build_hclg_sparse(sil_phone=..., sil_prob=...)
     silence_prob: float = 0.0
+    # --- planted temporal heterogeneity (per-phone-class lookahead) ---
+    # When nonempty, word phones are grouped in pairs (2i, 2i+1) that share
+    # IDENTICAL instantaneous emissions; the disambiguating phone identity
+    # is written into the last `lookahead_dim` feature dims DELAYED by the
+    # pair's lag = lookahead_lags[pair % len(lookahead_lags)] output
+    # frames.  Resolving a pair therefore requires model lookahead >= its
+    # lag (lda splice +1, plus the sum of affine strides, plus the +-2
+    # numerator tolerance) — so per-layer context-offset choice genuinely
+    # matters, with a graded ladder of lags giving a dense improvement
+    # signal at every stride margin.  This is the corpus analogue of the
+    # anticipatory coarticulation that makes the reference's offset search
+    # pay on real speech (searched PipeGumbel Avg 14.8 < manual 15.5,
+    # `img/search_result.png`), generalizing the single-lag positive
+    # control of scripts/search_sanity_planted.py.
+    lookahead_lags: Tuple[int, ...] = ()
+    lookahead_dim: int = 8
+    lookahead_scale: float = 2.0
     seed: int = 0
 
     @property
@@ -211,6 +228,23 @@ def make_word_corpus(cfg: WordCorpusConfig):
     means = rng.randn(tree.num_pdfs, cfg.feat_dim) * 2.0
     ctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
     rctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
+    lag_of = ident = None
+    la_dim = 0
+    if cfg.lookahead_lags:
+        la_dim = cfg.lookahead_dim
+        base_dim = cfg.feat_dim - la_dim
+        assert base_dim > 0
+        # pair-collapse: mates share all instantaneous emission stats;
+        # identity lives only in the delayed lookahead block
+        for p in range(0, n_word_phones - 1, 2):
+            means[tree.forward_pdf(p + 1)] = means[tree.forward_pdf(p)]
+            means[tree.self_loop_pdf(p + 1)] = means[tree.self_loop_pdf(p)]
+        means[:, base_dim:] = 0.0
+        ident = rng.randn(cfg.num_phones, la_dim).astype(np.float32) \
+            * cfg.lookahead_scale
+        lag_of = np.asarray(
+            [cfg.lookahead_lags[(p // 2) % len(cfg.lookahead_lags)]
+             for p in range(cfg.num_phones)], np.int64)
     spk_a = spk_b = None
     if cfg.num_speakers > 0:
         # per-speaker mild affine corruption: scale near 1, random shift
@@ -237,7 +271,7 @@ def make_word_corpus(cfg: WordCorpusConfig):
                     phones.append(sil)
         else:
             phones = [p for wd in words for p in pron_of(wd)]
-        begins, ends, pdfs, lctx, rctx = [], [], [], [], []
+        begins, ends, pdfs, lctx, rctx, fphone = [], [], [], [], [], []
         t = 0
         prev = -1
         for j, p in enumerate(phones):
@@ -249,6 +283,7 @@ def make_word_corpus(cfg: WordCorpusConfig):
             pdfs.append(tree.forward_pdf(p))
             pdfs.extend([tree.self_loop_pdf(p)] * (dur - 1))
             lctx.extend([prev] * dur)
+            fphone.extend([p] * dur)
             nxt = phones[j + 1] if j + 1 < len(phones) else -1
             rctx.extend([nxt] * dur)
             t += dur
@@ -258,6 +293,18 @@ def make_word_corpus(cfg: WordCorpusConfig):
             means[np.repeat(pdf_align, fs)]
             + rng.randn(len(pdf_align) * fs, cfg.feat_dim) * cfg.emission_noise
         )
+        if lag_of is not None:
+            # delayed identity: phone at output frame t is revealed in the
+            # lookahead block at frame t + lag(pair-class of the phone)
+            t_out = len(pdf_align)
+            fp = np.asarray(fphone)
+            la = np.zeros((t_out, la_dim), np.float32)
+            tgt = np.arange(t_out) + lag_of[fp]
+            ok = tgt < t_out
+            if sil >= 0:
+                ok &= fp != sil
+            np.add.at(la, tgt[ok], ident[fp[ok]])
+            feats[:, cfg.feat_dim - la_dim:] += np.repeat(la, fs, axis=0)
         if cfg.context_shift > 0.0:
             feats = feats + cfg.context_shift * ctx_shift[
                 np.repeat(np.asarray(lctx) + 1, fs)]

@@ -243,6 +243,9 @@ def make_train_step(
     def step(state: TrainState, batch, key):
         return jitted(state, batch, key, den)
 
+    # expose the jit + den for AOT cost analysis (bench.py FLOPs/MFU)
+    step._jitted = jitted
+    step._den = den
     return step
 
 
