@@ -126,6 +126,13 @@ class WordCorpusConfig(Config):
     # gives the word LM far more data than the acoustic corpus
     # (`run.sh:24-79` SRILM training; rnnlm recipes use SWBD+Fisher text)
     num_text_sents: int = 0
+    # >1 gives each sentence a latent TOPIC that permutes the unigram
+    # fallback distribution (big-vocab source only): topical coherence is
+    # long-range structure a recurrent LM can exploit but an n-gram
+    # cannot — the property of real conversational text that lets the
+    # reference's RNNLM rescoring beat its 4-gram (15.9 -> 14.4,
+    # `local/rnnlm/run_tdnn_lstm_...e40.sh:15-21`)
+    num_topics: int = 0
     # fraction of words that get a SECOND pronunciation (lexiconp.txt
     # semantics; primary used with prob 0.7, the variant 0.3); the corpus
     # then returns a decode.wfst.Lexicon (with .alt) in the prons slot
@@ -206,14 +213,24 @@ def make_word_corpus(cfg: WordCorpusConfig):
         zipf = 1.0 / np.arange(1, cfg.vocab_size + 1)
         zipf_cdf = np.cumsum(zipf / zipf.sum())
         succ = rng.randint(0, cfg.vocab_size, size=(cfg.vocab_size, 20))
+        topic_perm = (np.stack([rng.permutation(cfg.vocab_size)
+                                for _ in range(cfg.num_topics)])
+                      if cfg.num_topics > 1 else None)
 
         def sample_words(n_words):
-            ws = [int(np.searchsorted(zipf_cdf, rng.rand()))]
+            perm = (topic_perm[rng.randint(cfg.num_topics)]
+                    if topic_perm is not None else None)
+
+            def uni():
+                r = int(np.searchsorted(zipf_cdf, rng.rand()))
+                return int(perm[r]) if perm is not None else r
+
+            ws = [uni()]
             for _ in range(n_words - 1):
                 if rng.rand() < 0.7:
                     ws.append(int(succ[ws[-1], rng.randint(20)]))
                 else:
-                    ws.append(int(np.searchsorted(zipf_cdf, rng.rand())))
+                    ws.append(uni())
             return ws
     else:
         word_bigram = rng.dirichlet(np.ones(cfg.vocab_size) * 0.5,

@@ -452,6 +452,7 @@ def rescore_lattice_rnnlm(
     beam: float = 20.0,
     max_states_per_node: int = 32,
     word_to_token=str,
+    interp_weight: float = 1.0,
 ) -> List[Tuple[List[int], float]]:
     """Pruned RNNLM lattice rescoring with n-gram history clustering —
     the Kaldi `rnnlm/lmrescore_pruned.sh` approximation: expansion states
@@ -461,7 +462,18 @@ def rescore_lattice_rnnlm(
     ``scorer`` must provide ``initial_state()`` and
     ``advance(state, word) -> (logp_e, new_state)`` (see
     lm/rnnlm.RnnLMScorer) plus ``final_logprob(state)``.
+
+    ``interp_weight`` < 1 interpolates the RNNLM with the first-pass LM in
+    probability space — Kaldi's `lmrescore_pruned.sh --weight` semantics
+    (P = w*P_rnn + (1-w)*P_old); pure replacement (the default 1.0) is why
+    an under-trained RNNLM can actively HURT.
     """
+
+    def mix(lp_rnn: float, lp_old: float) -> float:
+        if interp_weight >= 1.0:
+            return lp_rnn
+        return float(np.logaddexp(math.log(interp_weight) + lp_rnn,
+                                  math.log(1.0 - interp_weight) + lp_old))
     outs = lat.out_arcs()
     order = _node_order(lat)
     # states[node]: {hist_key: (score, words, rnn_state)}
@@ -494,13 +506,14 @@ def rescore_lattice_rnnlm(
                     prev = hist[-1] if hist else -1
                 if wd >= 0:
                     lp, nstate = scorer.advance(rstate, wd)
-                    nsc = (sc + base + lm_scale * lp
-                           - _old_lm_logprob(old_lm, prev, wd, word_to_token))
+                    lp_old = _old_lm_logprob(old_lm, prev, wd, word_to_token)
+                    nsc = sc + base + lm_scale * mix(lp, lp_old) - lp_old
                     nhist = (hist + (wd,))[-hist_len:]
                     nwords = words + (wd,)
                 elif d == lat.end:
-                    nsc = (sc + base + lm_scale * scorer.final_logprob(rstate)
-                           - _old_lm_final(old_lm, prev, word_to_token))
+                    lp_old = _old_lm_final(old_lm, prev, word_to_token)
+                    nsc = (sc + base - lp_old + lm_scale
+                           * mix(scorer.final_logprob(rstate), lp_old))
                     nstate, nhist, nwords = rstate, hist, words
                 else:
                     nsc, nstate, nhist, nwords = sc + base, rstate, hist, words
