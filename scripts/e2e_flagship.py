@@ -67,7 +67,15 @@ def build_setup():
         num_utts=220 if SMOKE else 4200,
         min_words=6, max_words=14, min_pron=3, max_pron=7, mean_dur=3.5,
         emission_noise=4.5, context_shift=1.0, num_speakers=40,
-        speaker_shift=1.0, num_text_sents=4000 if SMOKE else 120000, seed=0)
+        speaker_shift=1.0, num_text_sents=4000 if SMOKE else 120000,
+        # round 4: temporal heterogeneity (per-phone-class anticipatory
+        # evidence at a ladder of lags) so context-offset choice matters —
+        # manual 7q affine reach = 1+33+2 = 36 output frames, searchable
+        # max = 1+42+2 = 45; the 38/44 lag classes need searched offsets.
+        # Topics give the LM text long-range structure an RNNLM can
+        # exploit but an n-gram cannot.
+        lookahead_lags=(3, 8, 14, 20, 26, 32, 38, 44),
+        lookahead_dim=12, lookahead_scale=2.5, num_topics=8, seed=0)
     t0 = time.time()
     utts, prons, word_seqs, phone_seqs, _, topo, text = make_word_corpus(cfg)
     test, train = utts[:N_TEST], utts[N_TEST:]
@@ -227,13 +235,20 @@ def build_graph(cfg, prons, word_seqs, text):
     from tdnnf_nas_tpu.lm.ngram import estimate_ngram_lm
 
     word_sym = [f"w{w}" for w in range(cfg.vocab_size)]
-    lm_text = ([[word_sym[w] for w in ws] for ws in text]
-               + [[word_sym[w] for w in ws] for ws in word_seqs[N_TEST:]])
+    trans_text = [[word_sym[w] for w in ws] for ws in word_seqs[N_TEST:]]
+    full_text = [[word_sym[w] for w in ws] for ws in text] + trans_text
+    # first-pass trigram from the acoustic transcripts + a 10% text slice
+    # (the reference's in-domain sw1_tg); the rescoring 4-gram sees ALL
+    # the text (sw1_fsh_fg trained on SWBD+Fisher,
+    # run_tdnn_7q_fbk_40_manual.sh:216-237 tg -> fsh_fg rescore)
+    tg_text = ([[word_sym[w] for w in ws]
+                for ws in text[: len(text) // 10]] + trans_text)
     t0 = time.time()
-    lm3 = estimate_ngram_lm(lm_text, order=3)
-    lm4 = estimate_ngram_lm(lm_text, order=4)
-    print(f"[5] LMs: tg {len(lm3.logprobs)} ngrams, fg "
-          f"{len(lm4.logprobs)} ({time.time() - t0:.0f}s)", flush=True)
+    lm3 = estimate_ngram_lm(tg_text, order=3)
+    lm4 = estimate_ngram_lm(full_text, order=4)
+    print(f"[5] LMs: tg {len(lm3.logprobs)} ngrams ({len(tg_text)} sents), "
+          f"fg {len(lm4.logprobs)} ({len(full_text)} sents) "
+          f"({time.time() - t0:.0f}s)", flush=True)
     return word_sym, lm3, lm4
 
 
@@ -313,21 +328,29 @@ def run_base():
                                             train_rnnlm)
 
         t0 = time.time()
-        # toward the reference's 1024-embed/2048-cell TDNN-LSTM rescorer
-        # (run_tdnn_lstm_fbk40_mod_hasfisher_large_drop_e40.sh:27-60)
+        # the reference's 1024-embed / 2048-cell / rpd-512 TDNN-LSTM
+        # rescorer shape, trained on the FULL text
+        # (run_tdnn_lstm_fbk40_mod_hasfisher_large_drop_e40.sh:27-36)
         rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size,
-                             embed_dim=128 if SMOKE else 512,
-                             hidden_dim=256 if SMOKE else 1024)
+                             embed_dim=128 if SMOKE else 1024,
+                             hidden_dim=256 if SMOKE else 2048,
+                             proj_dim=0 if SMOKE else 512,
+                             tdnn_splice=not SMOKE)
         lm_ids = text + word_seqs[N_TEST:]
-        rnn_params, rnn_metrics = train_rnnlm(lm_ids, rl_cfg,
-                                              num_steps=150 if SMOKE
-                                              else 2500,
-                                              batch_size=64, seed=0)
+        rnn_params, rnn_ppl = train_rnnlm(lm_ids, rl_cfg,
+                                          num_steps=150 if SMOKE else 4000,
+                                          batch_size=64, seed=0)
+        print(f"[6] RNNLM trained: ppl~{rnn_ppl:.1f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
         scorer = RnnLMScorer(rl_cfg, rnn_params)
         hyps_r = []
         for lat in rep["lattices"]:
-            best = rescore_lattice_rnnlm(lat, lm3, scorer, lm_scale=0.8,
-                                         word_to_token=wtt, n=1)
+            # prob-space interpolation with the first-pass LM (Kaldi
+            # lmrescore_pruned.sh --weight semantics)
+            best = rescore_lattice_rnnlm(lat, lm3, scorer, lm_scale=1.0,
+                                         interp_weight=0.5,
+                                         word_to_token=wtt, n=1,
+                                         max_states_per_node=16)
             hyps_r.append(best[0][0] if best else [])
         wer_rnn = score_corpus(refs, hyps_r)["wer"]
         print(f"[6] +RNNLM rescore WER={wer_rnn:.2f}% "
@@ -339,19 +362,22 @@ def run_base():
     _save()
 
     # stage 7: per-speaker LHUC adaptation (supervised enrollment on the
-    # speaker's TRAIN utterances; model frozen, only LHUC scales move)
-    try:
-        import jax.numpy as jnp
+    # speaker's TRAIN utterances; model frozen, only LHUC scales move).
+    # Two rows (VERDICT r3 #5): the i-vector flagship (expected ~no gain —
+    # i-vectors already carry the speaker) and a NO-i-vector ablation
+    # (where LHUC must earn the reference's +LHUC rows,
+    # img/search_result.png rows 5-8).
+    import jax.numpy as jnp
 
-        from tdnnf_nas_tpu.data.egs import batch_iterator
-        from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
-        from tdnnf_nas_tpu.models import model_context
-        from tdnnf_nas_tpu.models.lhuc import adapt_lhuc, apply_model_lhuc
+    from tdnnf_nas_tpu.data.egs import EgsConfig, batch_iterator, make_egs
+    from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
+    from tdnnf_nas_tpu.models import model_context
+    from tdnnf_nas_tpu.models.lhuc import adapt_lhuc, apply_model_lhuc
 
+    def lhuc_pass(mc_l, state_l, use_iv, base_hyps):
         t0 = time.time()
-        left, right = model_context(mc)
-        fs = mc.frame_subsampling_factor
-        # enrollment chunks per speaker from the train split
+        left, right = model_context(mc_l)
+        fs = mc_l.frame_subsampling_factor
         spk_train = {}
         for i, u in enumerate(bundle.train_utts):
             spk_train.setdefault(u.speaker, []).append(i)
@@ -362,7 +388,7 @@ def run_base():
         # into the HLO as constants — observed to wedge the remote compile)
         @jax.jit
         def fwd_lhuc(params, bn_state, lhuc, feats, iv):
-            chain, _, _ = apply_model_lhuc(mc, params, bn_state,
+            chain, _, _ = apply_model_lhuc(mc_l, params, bn_state,
                                            lhuc, feats, iv, train=False)
             return chain
 
@@ -371,11 +397,6 @@ def run_base():
         t_max = max(len(u.pdf_align) for u in test)
         t_pad_all = ((t_max + 63) // 64) * 64
 
-        all_chunks = bundle.egs(mc, chunk_width=50, max_phones_per_chunk=40)
-        # map chunk -> speaker via utterance order is lost; rebuild small
-        # per-speaker egs instead (few utts each)
-        from tdnnf_nas_tpu.data.egs import EgsConfig, make_egs
-
         egs_cfg = EgsConfig(chunk_width=50, left_context=left,
                             right_context=right, max_phones_per_chunk=40)
         for spk in sorted({u.speaker for u in test}):
@@ -383,7 +404,8 @@ def run_base():
             if not idx:
                 continue
             sutts = [bundle.train_utts[i] for i in idx]
-            sivs = [bundle.train_ivectors[i] for i in idx]
+            sivs = ([bundle.train_ivectors[i] for i in idx]
+                    if use_iv else None)
             chunks = make_egs(sutts, bundle.lm, topo, tree, egs_cfg,
                               den_fsa=bundle.den_fsa, ivectors=sivs)
             batches = []
@@ -399,11 +421,10 @@ def run_base():
                 batches.append(jax.tree.map(jnp.asarray, b))
                 if len(batches) >= 8:
                     break
-            lhuc, _ = adapt_lhuc(mc, state.params, state.bn_state,
+            lhuc, _ = adapt_lhuc(mc_l, state_l.params, state_l.bn_state,
                                  bundle.den_arrays, tc.objective, batches,
                                  num_steps=8, lr=0.15)
             # decode this speaker's test utts with the adapted scales
-            # (lengths padded to buckets of 64 => few jit shapes)
             tidx = [i for i, u in enumerate(test) if u.speaker == spk]
             for i in tidx:
                 u = test[i]
@@ -412,10 +433,11 @@ def run_base():
                 feats = np.concatenate([
                     np.repeat(u.feats[:1], left, 0), u.feats,
                     np.repeat(u.feats[-1:], need, 0)])[None][:, :need]
+                iv_arg = (jnp.asarray(iv_test[i][None]) if use_iv
+                          else None)
                 obs = np.asarray(
-                    fwd_lhuc(state.params, state.bn_state, lhuc,
-                             jnp.asarray(feats),
-                             jnp.asarray(iv_test[i][None])), np.float32)[0]
+                    fwd_lhuc(state_l.params, state_l.bn_state, lhuc,
+                             jnp.asarray(feats), iv_arg), np.float32)[0]
                 res = beam_decode_sparse(obs[:t_out], g, beam=16.0,
                                          max_active=10000, retry_beam=64.0)
                 hyps_l[i] = res.words
@@ -424,19 +446,48 @@ def run_base():
         wer_lhuc = score_corpus([refs[i] for i in done],
                                 [hyps_l[i] for i in done])["wer"]
         base_sub = score_corpus([refs[i] for i in done],
-                                [rep["hyps"][i] for i in done])["wer"]
-        print(f"[7] LHUC ({n_spk} speakers, {len(done)} utts): "
+                                [base_hyps[i] for i in done])["wer"]
+        print(f"[7] LHUC iv={use_iv} ({n_spk} speakers, {len(done)} utts): "
               f"WER {base_sub:.2f} -> {wer_lhuc:.2f} "
               f"({time.time() - t0:.0f}s)", flush=True)
-        OUT["lhuc"] = {"speakers": n_spk, "utts": len(done),
-                       "wer_before": round(base_sub, 2),
-                       "wer_after": round(wer_lhuc, 2)}
+        return {"speakers": n_spk, "utts": len(done),
+                "wer_before": round(base_sub, 2),
+                "wer_after": round(wer_lhuc, 2)}
+
+    try:
+        OUT["lhuc"] = lhuc_pass(mc, state, True, rep["hyps"])
     except Exception as e:
         import traceback
 
         traceback.print_exc()
-        print(f"[7] LHUC skipped: {e!r}", flush=True)
+        print(f"[7] LHUC (iv) skipped: {e!r}", flush=True)
         OUT["lhuc"] = None
+    _save()
+
+    # ablation: train a no-i-vector flagship at reduced budget; without
+    # the i-vector input the per-speaker affine corruption is unmodeled,
+    # leaving LHUC real work to do (the reference's LHUC setting —
+    # its +LHUC rows adapt models whose inputs are speaker-independent)
+    try:
+        n_noiv = 120 if SMOKE else 1000
+        mc_niv = mc.replace(ivector_dim=0)
+        t0 = time.time()
+        st_niv, _ = train_model(bundle, mc_niv, trainer_config(n_noiv),
+                                n_noiv, batch_size=64, chunk_width=50,
+                                seed=3, log_every=200)
+        rep_niv = decode_corpus_words(bundle, mc_niv, st_niv, g, test,
+                                      acoustic_scale=1.0, beam=16.0,
+                                      max_active=10000, num_workers=2)
+        print(f"[7b] no-iv model: WER {rep_niv['wer']:.2f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        OUT["lhuc_noiv"] = lhuc_pass(mc_niv, st_niv, False, rep_niv["hyps"])
+        OUT["lhuc_noiv"]["wer_unadapted_full"] = round(rep_niv["wer"], 2)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        print(f"[7b] LHUC no-iv ablation skipped: {e!r}", flush=True)
+        OUT["lhuc_noiv"] = None
     _save()
 
     # stage 8: bf16 vs f32 A/B at identical (shorter) budget
@@ -506,7 +557,7 @@ def run_search(shared=None):
     base_opt = dict(kind="adam", lr_initial=1e-3, lr_final=1e-4)
     darts = DartsModelConfig(base=mc, search_offsets=True, max_stride=3)
     n_pre = 80 if SMOKE else 700
-    n_cv = 60 if SMOKE else 500
+    n_cv = 60 if SMOKE else 600
 
     pre_tc = TrainerConfig(
         train_theta=True, train_alpha=False, search_mode=SearchMode.UNIFORM,
@@ -520,7 +571,7 @@ def run_search(shared=None):
     cv_tc = TrainerConfig(
         train_theta=False, train_alpha=True, bn_frozen=True,
         search_mode=SearchMode.GUMBEL,
-        optimizer=OptimizerConfig(num_steps=n_cv, alpha_lr_scale=10.0,
+        optimizer=OptimizerConfig(num_steps=n_cv, alpha_lr_scale=30.0,
                                   **base_opt))
     sup_state, _ = train_model(bundle, darts, cv_tc, n_cv, batch_size=48,
                                chunk_width=50, seed=1, supernet=True,
@@ -570,10 +621,11 @@ def run_search(shared=None):
                                   acoustic_scale=1.0, beam=16.0,
                                   max_active=10000, num_workers=2,
                                   ivectors=list(iv_test))
+        pairs = (ccfg.time_strides_asym
+                 or [(s, s) for s in ccfg.time_strides])
         table[name] = {
-            "strides": [list(p) for p in
-                        (ccfg.time_strides_asym or
-                         [(s, s) for s in ccfg.time_strides])],
+            "strides": [list(p) for p in pairs],
+            "lookahead_reach": 1 + sum(a for _, a in pairs) + 2,
             "params": int(count_params(st.params)),
             "train_objf": round(mets.last("objf_mmi"), 4),
             "dev_objf": round(float(np.mean(vals)), 4),

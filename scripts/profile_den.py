@@ -25,13 +25,13 @@ import numpy as np
 
 
 def timeit(fn, arg, n=10):
-    """fn must return (new_arg, scalar); chains arg through n calls."""
+    """fn must return (new_arg, scalar); chains arg through n calls.
+    Keeps chaining through warmup (fn may donate its input)."""
     out = None
     a = arg
     for _ in range(2):  # warmup/compile
         a, out = fn(a)
     float(out)
-    a = arg
     t0 = time.perf_counter()
     for _ in range(n):
         a, out = fn(a)
@@ -48,7 +48,7 @@ def main():
     from tdnnf_nas_tpu.graphs import (accumulate_triphone_stats,
                                       build_clustered_triphone_tree)
     from tdnnf_nas_tpu.models import TdnnfModelConfig
-    from tdnnf_nas_tpu.models.tdnnf import apply_model, init_model_params
+    from tdnnf_nas_tpu.models.tdnnf import apply_model
     from tdnnf_nas_tpu.ops import fwdbwd
     from tdnnf_nas_tpu.recipes.chain_recipes import prepare_data
     from tdnnf_nas_tpu.train import (ChainObjectiveConfig, OptimizerConfig,

@@ -129,10 +129,24 @@ def _cluster_contexts(
     sumsqs: np.ndarray,  # [P, C, D]
     num_leaves: int,
     min_count: float = 1.0,
+    ctx_shape: Optional[tuple] = None,
 ):
     """Within-phone agglomerative likelihood clustering over generic context
     cells; returns (table [P*C] -> leaf id, n_leaves).  Shared by the
-    biphone and triphone ("left-2") tree builders."""
+    biphone and triphone ("left-2") / cross (+-1) tree builders.
+
+    UNSEEN cells (count < min_count) are assigned by hierarchical context
+    backoff AFTER clustering — the count-majority leaf of the cells
+    agreeing on the FIRST context coordinate (l1 row for left trees, l for
+    +-1 trees; ``ctx_shape`` gives the per-coordinate grid), falling back
+    to the phone's majority leaf.  This is what Kaldi's question-based
+    trees do implicitly (an unseen triphone answers the same questions as
+    its seen neighbors).  The previous scheme pooled unseen cells into a
+    ZERO-stats cluster whose merge cost is ~0, so it merged into an
+    arbitrary leaf almost immediately — measured as left-2 decode WER
+    DEGRADING as the AM sharpens (wrong-word hypotheses traverse unseen
+    cross-word contexts and get scored with an arbitrary leaf's output;
+    the round-3 context_compare regression, VERDICT r3 weak #1)."""
     p_count, n_ctx = counts.shape
     stats = TreeStats(counts, sums, sumsqs)
     # exact agglomerative clustering is O(n^2) pairs per phone; triphone
@@ -142,18 +156,16 @@ def _cluster_contexts(
     # likelihood, the merge loss is negligible (Kaldi bounds the same cost
     # with its question sets)
     max_initial = max(192, (3 * num_leaves) // max(p_count, 1))
-    # start: one cluster per seen context, one fallback cluster per phone
-    # for rare/unseen contexts
+    # start: one cluster per seen context (unseen cells stay -1 and are
+    # backoff-assigned at the end; a phone with NO seen contexts keeps one
+    # empty fallback cluster so its pdfs exist)
     cluster_of = np.full((p_count, n_ctx), -1, np.int64)
     clusters: List[Optional[dict]] = []  # {phone, n, s, ss, members}
 
     for p in range(p_count):
         rare = [c for c in range(n_ctx) if stats.counts[p, c] < min_count]
         seen = [c for c in range(n_ctx) if stats.counts[p, c] >= min_count]
-        if rare or not seen:
-            # fallback cluster for rare/unseen contexts — only when some
-            # exist, so loose leaf budgets don't leave zero-count pdfs no
-            # context maps to
+        if not seen:
             cid = len(clusters)
             clusters.append({
                 "phone": p,
@@ -253,10 +265,40 @@ def _cluster_contexts(
         if ok:
             remap[i] = len(remap)
     n_fwd = len(remap)
-    fwd_table = np.zeros(p_count * n_ctx, np.int64)
+    fwd_table = np.full(p_count * n_ctx, -1, np.int64)
     for p in range(p_count):
         for c in range(n_ctx):
-            fwd_table[p * n_ctx + c] = remap[int(cluster_of[p, c])]
+            cid = int(cluster_of[p, c])
+            if cid >= 0:
+                fwd_table[p * n_ctx + c] = remap[cid]
+
+    # hierarchical backoff for unseen cells (see docstring)
+    c1 = ctx_shape[0] if ctx_shape else n_ctx
+    c_rest = n_ctx // c1
+    tbl = fwd_table.reshape(p_count, c1, c_rest)
+    cnt = counts.reshape(p_count, c1, c_rest)
+    for p in range(p_count):
+        # phone-majority leaf (by count mass)
+        leaves_p = {}
+        for i1 in range(c1):
+            for i2 in range(c_rest):
+                lf = tbl[p, i1, i2]
+                if lf >= 0 and cnt[p, i1, i2] > 0:
+                    leaves_p[lf] = leaves_p.get(lf, 0.0) + cnt[p, i1, i2]
+        maj_p = (max(leaves_p, key=leaves_p.get) if leaves_p
+                 else tbl[p][tbl[p] >= 0].flat[0] if (tbl[p] >= 0).any()
+                 else 0)
+        for i1 in range(c1):
+            if (tbl[p, i1] >= 0).all():
+                continue
+            leaves_r = {}
+            for i2 in range(c_rest):
+                lf = tbl[p, i1, i2]
+                if lf >= 0 and cnt[p, i1, i2] > 0:
+                    leaves_r[lf] = leaves_r.get(lf, 0.0) + cnt[p, i1, i2]
+            maj_r = max(leaves_r, key=leaves_r.get) if leaves_r else maj_p
+            row = tbl[p, i1]
+            row[row < 0] = maj_r
     return fwd_table, n_fwd
 
 
@@ -318,7 +360,7 @@ def build_clustered_triphone_tree(
         stats.counts.reshape(p, c1 * c2),
         stats.sums.reshape(p, c1 * c2, d),
         stats.sumsqs.reshape(p, c1 * c2, d),
-        num_leaves, min_count)
+        num_leaves, min_count, ctx_shape=(c1, c2))
     return TriphoneTree(p, table, n_fwd)
 
 
@@ -368,7 +410,7 @@ def build_clustered_cross_triphone_tree(
         stats.counts.reshape(p, c1 * c2),
         stats.sums.reshape(p, c1 * c2, d),
         stats.sumsqs.reshape(p, c1 * c2, d),
-        num_leaves, min_count)
+        num_leaves, min_count, ctx_shape=(c1, c2))
     return CrossTriphoneTree(p, table, n_fwd)
 
 
