@@ -77,7 +77,8 @@ def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20,
     # --- test utterances with noisy oracle observations ---
     fs_sec = 0.03  # 30ms per output frame (10ms x subsampling 3)
     refs, hyps, rtfs, lat_ok = [], [], [], 0
-    act = []
+    act, py_rtfs = [], []
+    t_total_py = 0.0
     t_total, audio_total = 0.0, 0.0
     for i in range(n_test):
         n = rng.randint(8, 16)
@@ -105,10 +106,23 @@ def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20,
                                  lattice=True, lattice_beam=7.0,
                                  retry_beam=4 * beam)
         dt = time.time() - t0
+        # numpy reference on the same obs (the round-3 decoder) for the
+        # native-vs-python speedup line
+        t0 = time.time()
+        res_py = beam_decode_sparse(obs, g, beam=beam,
+                                    max_active=max_active, lattice=True,
+                                    lattice_beam=7.0, retry_beam=4 * beam,
+                                    native="never")
+        dt_py = time.time() - t0
+        if res_py.words != res.words:
+            print(f"# WARNING: native/python hyp mismatch on utt {i}",
+                  flush=True)
         audio = t_len * fs_sec
         t_total += dt
+        t_total_py += dt_py
         audio_total += audio
         rtfs.append(dt / audio)
+        py_rtfs.append(dt_py / audio)
         act.append(res.num_active_mean)
         refs.append(wordsq)
         hyps.append(res.words)
@@ -127,6 +141,7 @@ def main(vocab_size=5000, num_phones=42, n_train_sents=30000, n_test=20,
         "obs_noise": noise,
         "beam": beam,
         "rtf": round(rtf, 4),
+        "rtf_python": round(t_total_py / audio_total, 4),
         "xrt_speedup": round(1.0 / rtf, 1),
         "mean_active": round(float(np.mean(act)), 1),
         "lattice_bestpath_match": f"{lat_ok}/{n_test}",

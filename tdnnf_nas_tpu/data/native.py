@@ -26,7 +26,8 @@ _lock = threading.Lock()
 _lib = None
 
 
-_SOURCES = ("egs_builder.cc", "decoder.cc", "egs_loader.cc", "lattice.cc")
+_SOURCES = ("egs_builder.cc", "decoder.cc", "egs_loader.cc", "lattice.cc",
+            "beam_sparse.cc")
 
 
 def _build_lib() -> None:
@@ -99,6 +100,18 @@ def _bind_symbols(lib: ctypes.CDLL) -> None:
         i32p, i32p, i32p, i32p, f32p, f32p, i32p,
     ]
     lib.generate_lattice.restype = ctypes.c_int32
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.beam_decode_sparse_native.argtypes = [
+        f32p, ctypes.c_int32, ctypes.c_int32,
+        i64p, i32p, f32p, i32p, i32p, f32p,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_float,
+        ctypes.c_int32, i32p, i32p, f32p,
+        ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, f32p, f32p, i32p,
+    ]
+    lib.beam_decode_sparse_native.restype = ctypes.c_int32
 
 
 def _i32p(a):
@@ -323,6 +336,86 @@ def nbest_decode_native(
     )
     return [(out_words[i, : out_lens[i]].tolist(), float(out_scores[i]))
             for i in range(found)]
+
+
+def beam_decode_sparse_csr_native(
+    obs_logprob: np.ndarray,  # [T, P]
+    g,  # decode.graph_sparse.SparseDecodingGraph
+    acoustic_scale: float = 1.0,
+    beam: float = 16.0,
+    max_active: int = 7000,
+    lattice: bool = False,
+    lattice_beam: float = 8.0,
+):
+    """Native beam search over a SparseDecodingGraph — same semantics as
+    decode.beam._beam_decode_once (parity-tested).  Returns (words, score,
+    Lattice|None); raises decode.beam.BeamSearchDied when no token
+    survives a frame (the caller's retry-beam loop handles it)."""
+    from tdnnf_nas_tpu.decode.beam import BeamSearchDied
+    from tdnnf_nas_tpu.decode.lattice import Lattice
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    obs = np.ascontiguousarray(obs_logprob, np.float32)
+    t, p = obs.shape
+    out_start = np.ascontiguousarray(g.out_start, np.int64)
+    arc_dst = np.ascontiguousarray(g.arc_dst, np.int32)
+    arc_w = np.ascontiguousarray(g.arc_w, np.float32)
+    arc_word = np.ascontiguousarray(g.arc_word, np.int32)
+    spdf = np.ascontiguousarray(g.state_pdf, np.int32)
+    finw = np.ascontiguousarray(g.final_w, np.float32)
+    i64p_ = out_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    max_words = max(16, 4 * t)
+    max_nodes = (t * min(max_active, 4096) + 2) if lattice else 2
+    max_arcs = (32 * max_nodes + 16) if lattice else 2
+    while True:
+        out_words = np.zeros((max_words,), np.int32)
+        out_n = np.zeros((1,), np.int32)
+        out_score = np.zeros((1,), np.float32)
+        node_time = np.zeros((max_nodes,), np.int32)
+        l_src = np.zeros((max_arcs,), np.int32)
+        l_dst = np.zeros((max_arcs,), np.int32)
+        l_word = np.zeros((max_arcs,), np.int32)
+        l_am = np.zeros((max_arcs,), np.float32)
+        l_gs = np.zeros((max_arcs,), np.float32)
+        counts = np.zeros((2,), np.int32)
+        rc = lib.beam_decode_sparse_native(
+            _f32p(obs), t, p, i64p_, _i32p(arc_dst), _f32p(arc_w),
+            _i32p(arc_word), _i32p(spdf), _f32p(finw),
+            int(g.num_states), int(g.start_state),
+            ctypes.c_float(acoustic_scale), ctypes.c_float(beam),
+            int(max_active), int(bool(lattice)), ctypes.c_float(lattice_beam),
+            int(max_words), _i32p(out_words), _i32p(out_n), _f32p(out_score),
+            int(max_nodes), int(max_arcs), _i32p(node_time), _i32p(l_src),
+            _i32p(l_dst), _i32p(l_word), _f32p(l_am), _f32p(l_gs),
+            _i32p(counts),
+        )
+        if rc == -1:
+            raise BeamSearchDied("beam search died (native)")
+        if rc == -2:
+            max_words *= 2
+            max_nodes = max(max_nodes * 2, 1024)
+            max_arcs = max(max_arcs * 2, 16384)
+            continue
+        break
+    words = out_words[: int(out_n[0])].tolist()
+    score = float(out_score[0])
+    lat = None
+    if lattice:
+        n_nodes, n_arcs = int(counts[0]), int(counts[1])
+        order = np.argsort(l_src[:n_arcs], kind="stable")
+        lat = Lattice(
+            num_nodes=n_nodes,
+            node_time=node_time[:n_nodes].copy(),
+            arc_src=l_src[:n_arcs][order].copy(),
+            arc_dst=l_dst[:n_arcs][order].copy(),
+            arc_word=l_word[:n_arcs][order].copy(),
+            arc_am=l_am[:n_arcs][order].copy(),
+            arc_gs=l_gs[:n_arcs][order].copy(),
+        )
+    return words, score, lat
 
 
 def edit_distance_batch_native(refs: List[Sequence[int]], hyps: List[Sequence[int]]):

@@ -110,6 +110,7 @@ def beam_decode_sparse(
     lattice: bool = False,
     lattice_beam: float = 8.0,
     retry_beam: float = 0.0,
+    native: str = "auto",
 ) -> BeamDecodeResult:
     """Time-synchronous beam search over a SparseDecodingGraph.
 
@@ -117,12 +118,35 @@ def beam_decode_sparse(
     re-decode: if the search dies (no surviving token at some frame), the
     whole utterance is re-decoded with the beam doubled, up to
     ``retry_beam`` (ref steps/nnet3/decode.sh retry semantics).
+
+    ``native``: "auto" uses the C++ decoder (native/beam_sparse.cc,
+    parity-tested against this module) when the native library loads,
+    falling back silently; "never" forces the numpy reference; "always"
+    raises if the native library is unavailable.
     """
+    once = _beam_decode_once
+    if native != "never":
+        try:
+            from tdnnf_nas_tpu.data.native import (beam_decode_sparse_csr_native,
+                                                   get_lib)
+
+            if get_lib() is not None:
+                def once(obs, g_, ac, b_, ma, lat, lb):  # noqa: E306
+                    words, score, l = beam_decode_sparse_csr_native(
+                        obs, g_, acoustic_scale=ac, beam=b_, max_active=ma,
+                        lattice=lat, lattice_beam=lb)
+                    return BeamDecodeResult(words=words, score=score,
+                                            lattice=l)
+            elif native == "always":
+                raise RuntimeError("native library unavailable")
+        except ImportError:
+            if native == "always":
+                raise
     b = beam
     while True:
         try:
-            return _beam_decode_once(obs_logprob, g, acoustic_scale, b,
-                                     max_active, lattice, lattice_beam)
+            return once(obs_logprob, g, acoustic_scale, b,
+                        max_active, lattice, lattice_beam)
         except BeamSearchDied:
             if b >= retry_beam:
                 raise

@@ -110,3 +110,43 @@ def test_native_nbest_matches_python():
         for (wp, sp), (wn, sn) in zip(py, nat):
             assert wp == wn, (wp, wn)
             np.testing.assert_allclose(sp, sn, rtol=1e-4, atol=1e-3)
+
+
+def test_native_beam_sparse_matches_python():
+    """C++ beam+lattice decoder == the numpy reference on a real HCLG
+    (words, score, and lattice best path), incl. the died->retry path."""
+    from tdnnf_nas_tpu.data.synthetic import WordCorpusConfig, make_word_corpus
+    from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
+    from tdnnf_nas_tpu.decode.graph_sparse import build_hclg_sparse
+    from tdnnf_nas_tpu.decode.lattice import lattice_best_path
+    from tdnnf_nas_tpu.decode.wfst import Lexicon
+    from tdnnf_nas_tpu.lm.ngram import estimate_ngram_lm
+    from tdnnf_nas_tpu.data.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    cfg = WordCorpusConfig(vocab_size=40, num_phones=10, feat_dim=12,
+                           num_utts=24, min_words=2, max_words=6, seed=3)
+    utts, prons, word_seqs, _, tree, topo = make_word_corpus(cfg)
+    word_sym = [f"w{w}" for w in range(cfg.vocab_size)]
+    lm = estimate_ngram_lm([[word_sym[w] for w in ws] for ws in word_seqs],
+                           order=3)
+    g = build_hclg_sparse(Lexicon(prons), lm, word_sym, topo, tree)
+    rng = np.random.RandomState(0)
+    for utt in utts[:8]:
+        t = len(utt.pdf_align)
+        obs = np.full((t, tree.num_pdfs), -5.0, np.float32)
+        obs[np.arange(t), utt.pdf_align] = 0.0
+        obs += rng.randn(t, tree.num_pdfs).astype(np.float32) * 0.5
+        kw = dict(beam=12.0, max_active=500, retry_beam=48.0,
+                  lattice=True, lattice_beam=6.0)
+        py = beam_decode_sparse(obs, g, native="never", **kw)
+        nat = beam_decode_sparse(obs, g, native="always", **kw)
+        assert nat.words == py.words
+        assert abs(nat.score - py.score) < 1e-3
+        # lattice equivalence: same best path words + score
+        pw, ps = lattice_best_path(py.lattice)
+        nw, ns = lattice_best_path(nat.lattice)
+        assert nw == pw
+        assert abs(ns - ps) < 1e-3
+        assert nat.lattice.num_arcs == py.lattice.num_arcs
