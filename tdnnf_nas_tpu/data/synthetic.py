@@ -160,6 +160,12 @@ class WordCorpusConfig(Config):
     lookahead_lags: Tuple[int, ...] = ()
     lookahead_dim: int = 8
     lookahead_scale: float = 2.0
+    # word-boundary allophony: emission mean += boundary_shift *
+    # bshift[position] with position in {begin, internal, end, single} —
+    # the acoustic effect Kaldi's _B/_E/_I/_S word-position-dependent
+    # phones (prepare_lang) exist to model; see graphs/wpd.py and
+    # scripts/wpd_compare.py
+    boundary_shift: float = 0.0
     seed: int = 0
 
     @property
@@ -245,6 +251,7 @@ def make_word_corpus(cfg: WordCorpusConfig):
     means = rng.randn(tree.num_pdfs, cfg.feat_dim) * 2.0
     ctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
     rctx_shift = rng.randn(cfg.num_phones + 1, cfg.feat_dim)
+    bnd_shift = rng.randn(4, cfg.feat_dim)
     lag_of = ident = None
     la_dim = 0
     if cfg.lookahead_lags:
@@ -280,15 +287,27 @@ def make_word_corpus(cfg: WordCorpusConfig):
                 return alt_prons[wd][1][0]
             return prons[wd]
 
+        wpos = []  # per-phone word-position class (wpd.POS_*)
         if cfg.silence_prob > 0:
             phones = [sil] if rng.rand() < cfg.silence_prob else []
+            wpos = [1] * len(phones)
             for wd in words:
-                phones.extend(pron_of(wd))
+                pr = pron_of(wd)
+                phones.extend(pr)
+                wpos.extend([3] if len(pr) == 1 else
+                            [0] + [1] * (len(pr) - 2) + [2])
                 if rng.rand() < cfg.silence_prob:
                     phones.append(sil)
+                    wpos.append(1)
         else:
-            phones = [p for wd in words for p in pron_of(wd)]
+            phones = []
+            for wd in words:
+                pr = pron_of(wd)
+                phones.extend(pr)
+                wpos.extend([3] if len(pr) == 1 else
+                            [0] + [1] * (len(pr) - 2) + [2])
         begins, ends, pdfs, lctx, rctx, fphone = [], [], [], [], [], []
+        fpos = []
         t = 0
         prev = -1
         for j, p in enumerate(phones):
@@ -301,6 +320,7 @@ def make_word_corpus(cfg: WordCorpusConfig):
             pdfs.extend([tree.self_loop_pdf(p)] * (dur - 1))
             lctx.extend([prev] * dur)
             fphone.extend([p] * dur)
+            fpos.extend([wpos[j] if j < len(wpos) else 1] * dur)
             nxt = phones[j + 1] if j + 1 < len(phones) else -1
             rctx.extend([nxt] * dur)
             t += dur
@@ -328,6 +348,9 @@ def make_word_corpus(cfg: WordCorpusConfig):
         if cfg.right_context_shift > 0.0:
             feats = feats + cfg.right_context_shift * rctx_shift[
                 np.repeat(np.asarray(rctx) + 1, fs)]
+        if cfg.boundary_shift > 0.0:
+            feats = feats + cfg.boundary_shift * bnd_shift[
+                np.repeat(np.asarray(fpos), fs)]
         spk = ui % max(cfg.num_speakers, 1)
         if spk_a is not None:
             feats = feats * spk_a[spk] + spk_b[spk]
