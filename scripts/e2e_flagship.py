@@ -104,12 +104,20 @@ def build_setup():
     cache_path = os.path.join(
         cache_dir, "flagship_smoke_setup.pkl" if SMOKE
         else "flagship_setup.pkl")
+    # key = config repr + a content fingerprint of the generated corpus
+    # (a code change in make_word_corpus can shift the RNG stream and
+    # change the corpus under an identical config — observed when a new
+    # unconditional rng draw was added; stale alignments would silently
+    # poison supervision)
+    fp = (f"{frames}:{float(np.sum(np.abs(utts[0].feats[:8]))):.3f}:"
+          f"{list(utts[0].phones[:6])}")
     cached = None
     if os.path.exists(cache_path):
         try:
             with open(cache_path, "rb") as f:
                 cached = pickle.load(f)
-            if cached.get("cfg") != repr(cfg):
+            if (cached.get("cfg") != repr(cfg)
+                    or cached.get("fingerprint") != fp):
                 cached = None
         except Exception:
             cached = None
@@ -186,6 +194,7 @@ def build_setup():
             with open(cache_path, "wb") as f:
                 pickle.dump({
                     "cfg": repr(cfg),
+                    "fingerprint": fp,
                     "begins": [list(u.begins) for u in train],
                     "ends": [list(u.ends) for u in train],
                     "tree": tree,

@@ -98,9 +98,6 @@ def main():
         st, m = step(st, batch, key)
         return st, m["objf_mmi"]
 
-    results["full"] = timeit(full, state, n=8)
-    print(f"full step: {results['full'] * 1e3:.1f} ms", flush=True)
-
     # model fwd+bwd only
     params = state.params
     bn = state.bn_state
@@ -183,9 +180,10 @@ def main():
         print(f"pos-matmul scan fwd (T-1 frames): "
               f"{results['pos_matmul_scan_fwd'] * 1e3:.1f} ms", flush=True)
 
-    # numerator kernel from the real batch
-    sup = batch["sup"]
-    print({k: (v * 1e3) for k, v in sorted(results.items())}, flush=True)
+    results["full"] = timeit(full, state, n=8)
+    print(f"full step: {results['full'] * 1e3:.1f} ms", flush=True)
+    print({k: round(v * 1e3, 2) for k, v in sorted(results.items())},
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -163,11 +163,23 @@ class CompiledDenFsa:
             lo, hi = starts[j], starts[j + 1]
             in_pos[j, : hi - lo] = srcp[lo:hi]
             in_w[j, : hi - lo] = w[lo:hi]
-        trans_pos = None
+        trans_pos = tp_hi = tp_lo = None
         if self.num_positions * s <= dense_budget:
             tp = np.zeros((self.num_positions, s), np.float32)
             np.add.at(tp, (self.arc_src_pos, self.arc_dst), self.arc_w)
             trans_pos = jnp.asarray(tp)
+            # precomputed hi/lo bf16 split: the scan body must not
+            # re-split the weight matrix every frame (ops/fwdbwd.py
+            # _bmm_presplit; round-4 profile)
+            hi = tp.astype(np.float32).astype(jnp.bfloat16)
+            tp_hi = jnp.asarray(hi)
+            tp_lo = jnp.asarray(
+                (tp - np.asarray(hi, np.float32)).astype(jnp.bfloat16))
+        # states sorted by pdf for the segment-sum obs-gather backward
+        spdf = np.asarray(self.state_pdf)
+        perm = np.argsort(spdf, kind="stable").astype(np.int32)
+        bounds = np.searchsorted(spdf[perm],
+                                 np.arange(self.num_pdfs + 1)).astype(np.int32)
         return FactoredDenGraph(
             seg_bounds=jnp.asarray(self.seg_bounds),
             in_pos=jnp.asarray(in_pos),
@@ -176,6 +188,10 @@ class CompiledDenFsa:
             init=jnp.asarray(self.init),
             final=jnp.asarray(self.final),
             trans_pos=trans_pos,
+            trans_pos_hi=tp_hi,
+            trans_pos_lo=tp_lo,
+            pdf_perm=jnp.asarray(perm),
+            pdf_bounds=jnp.asarray(bounds),
         )
 
     def init_lookup_seq(self, lm, phones) -> Tuple[np.ndarray, np.ndarray]:

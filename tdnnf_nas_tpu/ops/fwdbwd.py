@@ -468,6 +468,17 @@ class FactoredDenGraph:
     # Npos stays small (~P x LM states) so beta @ W rides the MXU instead —
     # measured ~50x faster at the flagship triphone scale.  None => gather.
     trans_pos: Optional[jax.Array] = None
+    # hi/lo bf16 split of trans_pos, PRECOMPUTED so the scan body doesn't
+    # re-split the [Npos, S] matrix every frame (~270 MB of HBM traffic
+    # per frame at the flagship shape — measured as most of the den
+    # kernel's cost, round-4 profile)
+    trans_pos_hi: Optional[jax.Array] = None
+    trans_pos_lo: Optional[jax.Array] = None
+    # states sorted by pdf: perm [S] + bounds [P+1] — lets the obs-gather
+    # BACKWARD run as gather+cumsum segment sums instead of a sort-based
+    # scatter (see _gather_obs_shared)
+    pdf_perm: Optional[jax.Array] = None
+    pdf_bounds: Optional[jax.Array] = None
 
     @property
     def num_states(self) -> int:
@@ -475,22 +486,59 @@ class FactoredDenGraph:
 
     def tree_flatten(self):
         return (self.seg_bounds, self.in_pos, self.in_w, self.state_pdf,
-                self.init, self.final, self.trans_pos), None
+                self.init, self.final, self.trans_pos, self.trans_pos_hi,
+                self.trans_pos_lo, self.pdf_perm, self.pdf_bounds), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
 
+@jax.custom_vjp
+def _gather_obs_sorted(obs_exp, state_pdf, pdf_perm, pdf_bounds):
+    """Shared-graph obs expansion [B,T,P] -> [B,T,S] with a segment-sum
+    backward.
+
+    Forward is a constant-index gather (fast on TPU); its autodiff VJP is
+    a sort-based scatter-add — measured as the bulk of the den obs cost.
+    With states pre-sorted by pdf (``pdf_perm``; runs of equal pdfs bounded
+    by ``pdf_bounds``), the backward is gather + exclusive-cumsum segment
+    sums: g_obs[..., p] = sum over the pdf-p run of g_state[..., perm].
+    """
+    return jnp.take(obs_exp, state_pdf, axis=-1)
+
+
+def _gather_obs_sorted_fwd(obs_exp, state_pdf, pdf_perm, pdf_bounds):
+    return jnp.take(obs_exp, state_pdf, axis=-1), (pdf_perm, pdf_bounds)
+
+
+def _gather_obs_sorted_bwd(res, g):
+    pdf_perm, pdf_bounds = res
+    gs = jnp.take(g, pdf_perm, axis=-1)  # [B,T,S] sorted by pdf
+    zero = jnp.zeros(gs.shape[:-1] + (1,), gs.dtype)
+    cs = jnp.concatenate([zero, jnp.cumsum(gs, axis=-1)], axis=-1)
+    g_obs = (jnp.take(cs, pdf_bounds[1:], axis=-1)
+             - jnp.take(cs, pdf_bounds[:-1], axis=-1))
+    return g_obs, None, None, None
+
+
+_gather_obs_sorted.defvjp(_gather_obs_sorted_fwd, _gather_obs_sorted_bwd)
+
+
 @partial(jax.jit, static_argnames=("leaky_coef_static",))
 def _forward_score_factored_impl(obs_logprob, seg_bounds, in_pos, in_w,
                                  state_pdf, init, final, trans_pos,
-                                 leaky_coef_static):
+                                 trans_pos_hi, trans_pos_lo, pdf_perm,
+                                 pdf_bounds, leaky_coef_static):
     b, t, _ = obs_logprob.shape
     obs_logprob = obs_logprob.astype(jnp.float32)
     mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
     obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
-    obs_state = _gather_obs(obs_exp, state_pdf)  # [B,T,S]
+    if pdf_perm is not None:
+        obs_state = _gather_obs_sorted(obs_exp, state_pdf, pdf_perm,
+                                       pdf_bounds)
+    else:
+        obs_state = _gather_obs(obs_exp, state_pdf)  # [B,T,S]
     init_b = init[None, :]
 
     a0 = init_b * obs_state[:, 0]
@@ -507,7 +555,12 @@ def _forward_score_factored_impl(obs_logprob, seg_bounds, in_pos, in_w,
         # segments — e.g. BOS-context positions with no states — yield 0)
         cs = jnp.concatenate([zero, jnp.cumsum(alpha, axis=-1)], axis=-1)
         beta = cs[:, seg_bounds[1:]] - cs[:, seg_bounds[:-1]]  # [B, Npos]
-        if trans_pos is not None:
+        if trans_pos_hi is not None:
+            # MXU path with the weight split hoisted out of the scan
+            # (re-splitting [Npos,S] every frame cost ~270 MB HBM traffic
+            # per frame at the flagship shape)
+            a = _bmm_presplit(beta, trans_pos_hi, trans_pos_lo) * obs_t
+        elif trans_pos is not None:
             # MXU path: alpha' = beta @ W, exact-ish f32 via hi/lo split
             a = _bmm_shared_split(beta, trans_pos) * obs_t
         else:
@@ -526,10 +579,16 @@ def _forward_score_factored_impl(obs_logprob, seg_bounds, in_pos, in_w,
 def _bmm_shared_split(x: jax.Array, m: jax.Array) -> jax.Array:
     """x [B,P] @ m [P,S] with both operands hi/lo bf16-split, f32 accumulate
     — ~f32-exact (error ~2^-16 relative) at full MXU rate."""
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
     mh = m.astype(jnp.bfloat16)
     ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _bmm_presplit(x, mh, ml)
+
+
+def _bmm_presplit(x: jax.Array, mh: jax.Array, ml: jax.Array) -> jax.Array:
+    """x [B,P] @ (mh + ml) with the weight split PRECOMPUTED (bf16 pair);
+    x is hi/lo split per call (tiny vs the weight matrix)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
     f32 = jnp.float32
     return (jnp.einsum("bp,ps->bs", xh, mh, preferred_element_type=f32)
             + jnp.einsum("bp,ps->bs", xh, ml, preferred_element_type=f32)
@@ -545,5 +604,6 @@ def forward_score_factored(
     and CSR kernels (tested bit-close)."""
     return _forward_score_factored_impl(
         obs_logprob, g.seg_bounds, g.in_pos, g.in_w, g.state_pdf, g.init,
-        g.final, g.trans_pos, float(leaky_coef),
+        g.final, g.trans_pos, g.trans_pos_hi, g.trans_pos_lo, g.pdf_perm,
+        g.pdf_bounds, float(leaky_coef),
     )

@@ -112,7 +112,8 @@ def test_factored_kernel_matches_dense_and_reference():
     g = comp.to_state_graph()
     f_mxu = comp.to_factored()  # dense [Npos,S] MXU path (bf16 hi/lo split)
     assert f_mxu.trans_pos is not None
-    f_gather = _dc.replace(f_mxu, trans_pos=None)  # strict-f32 gather path
+    f_gather = _dc.replace(f_mxu, trans_pos=None, trans_pos_hi=None,
+                           trans_pos_lo=None)  # strict-f32 gather path
 
     rng = np.random.RandomState(1)
     t = 10
