@@ -560,7 +560,11 @@ def run_search(shared=None):
         (cfg, utts, prons, word_seqs, text, bundle, tree, topo, test, train,
          iv_test, iv_train) = setup
         word_sym, lm3, _ = build_graph(cfg, prons, word_seqs, text)
-        g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree)
+        # compact unigram junction at 30k words (same call as run_base:
+        # the exact per-left-context split multiplies unigram-source
+        # chains by the live final-tuple count — tens of GB at this scale)
+        g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree,
+                              split_unigram=False)
     else:
         setup, _, g, lm3, word_sym = shared
         (cfg, utts, prons, word_seqs, text, bundle, tree, topo, test, train,
