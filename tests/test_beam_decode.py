@@ -127,7 +127,7 @@ def test_adaptive_beam_retry(setup, monkeypatch):
     assert res.words == utts[0].words
     calls.clear()
     with pytest.raises(B.BeamSearchDied):
-        B.beam_decode_sparse(obs, g, beam=8.0)
+        B.beam_decode_sparse(obs, g, beam=8.0, native="never")
     assert calls == [8.0]
 
 
