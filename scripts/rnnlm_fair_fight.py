@@ -37,42 +37,59 @@ def main():
     from tdnnf_nas_tpu.recipes.chain_recipes import (decode_corpus_words,
                                                      train_model)
 
+    import pickle
+
     setup = flag.build_setup()
     (cfg, utts, prons, word_seqs, text, bundle, tree, topo, test, train,
      iv_test, iv_train) = setup
     mc = flag.model_config(tree, cfg)
     wtt = lambda w: f"w{w}"
     refs = [list(u.words) for u in test]
+    nb_cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "rnnlm_fight_nbests.pkl")
 
     # AM identical to the flagship base run (same seed/budget)
-    t0 = time.time()
-    state, _ = train_model(bundle, mc, flag.trainer_config(1600), 1600,
-                           batch_size=64, chunk_width=50, seed=0,
-                           log_every=400)
-    print(f"[am] trained ({time.time() - t0:.0f}s)", flush=True)
-
+    cached_nb = None
+    if os.path.exists(nb_cache):
+        with open(nb_cache, "rb") as f:
+            cached_nb = pickle.load(f)
     word_sym, lm3, lm4 = flag.build_graph(cfg, prons, word_seqs, text)
-    g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree,
-                          split_unigram=False)
     t0 = time.time()
-    rep = decode_corpus_words(bundle, mc, state, g, test, acoustic_scale=1.0,
-                              beam=16.0, max_active=10000, lattice=True,
-                              lattice_beam=8.0, num_workers=2,
-                              ivectors=list(iv_test))
-    print(f"[decode] tg WER={rep['wer']:.2f} ({time.time() - t0:.0f}s)",
-          flush=True)
+    if cached_nb is None:
+        state, _ = train_model(bundle, mc, flag.trainer_config(1600), 1600,
+                               batch_size=64, chunk_width=50, seed=0,
+                               log_every=400)
+        print(f"[am] trained ({time.time() - t0:.0f}s)", flush=True)
+        g = build_hclg_sparse(Lexicon(prons), lm3, word_sym, topo, tree,
+                              split_unigram=False)
+        t0 = time.time()
+        rep = decode_corpus_words(bundle, mc, state, g, test,
+                                  acoustic_scale=1.0,
+                                  beam=16.0, max_active=10000, lattice=True,
+                                  lattice_beam=8.0, num_workers=2,
+                                  ivectors=list(iv_test))
+        print(f"[decode] tg WER={rep['wer']:.2f} ({time.time() - t0:.0f}s)",
+              flush=True)
+        wer_tg = rep["wer"]
 
-    # n-best with tg scores -> replace tg by the FULL 4-gram
-    nbests_tg = [lattice_nbest(lat, n=20) for lat in rep["lattices"]]
-    nbests_fg = []
-    for hyps in nbests_tg:
-        out = []
-        for words, total in hyps:
-            old = sum(_old_lm_token_logprobs(list(words), lm3, wtt))
-            new = sum(_old_lm_token_logprobs(list(words), lm4, wtt))
-            out.append((list(words), total - old + new))
-        out.sort(key=lambda h: -h[1])
-        nbests_fg.append(out)
+        # n-best with tg scores -> replace tg by the FULL 4-gram
+        nbests_tg = [lattice_nbest(lat, n=20) for lat in rep["lattices"]]
+        nbests_fg = []
+        for hyps in nbests_tg:
+            out = []
+            for words, total in hyps:
+                old = sum(_old_lm_token_logprobs(list(words), lm3, wtt))
+                new = sum(_old_lm_token_logprobs(list(words), lm4, wtt))
+                out.append((list(words), total - old + new))
+            out.sort(key=lambda h: -h[1])
+            nbests_fg.append(out)
+        with open(nb_cache, "wb") as f:
+            pickle.dump({"nbests_fg": nbests_fg, "wer_tg": wer_tg}, f)
+    else:
+        nbests_fg = cached_nb["nbests_fg"]
+        wer_tg = cached_nb["wer_tg"]
+        rep = {"wer": wer_tg}
+        print("[decode] n-best restored from cache", flush=True)
     hyps_fg = [(h[0][0] if h else []) for h in nbests_fg]
     wer_fg = score_corpus(refs, hyps_fg)["wer"]
     print(f"[fg] 4-gram n-best rescore WER={wer_fg:.2f}", flush=True)
@@ -82,7 +99,7 @@ def main():
     rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size, embed_dim=1024,
                          hidden_dim=2048, proj_dim=512, tdnn_splice=True)
     lm_ids = text + word_seqs[flag.N_TEST:]
-    rnn_params, ppl = train_rnnlm(lm_ids, rl_cfg, num_steps=16000,
+    rnn_params, ppl = train_rnnlm(lm_ids, rl_cfg, num_steps=int(os.environ.get('RNNLM_STEPS', 16000)),
                                   batch_size=64, seed=0)
     print(f"[rnnlm] trained 16k steps, ppl~{ppl:.1f} "
           f"({time.time() - t0:.0f}s)", flush=True)
@@ -91,10 +108,10 @@ def main():
     out = {"wer_first_pass_tg": round(rep["wer"], 2),
            "wer_4gram_nbest": round(wer_fg, 2),
            "rnnlm": {"embed": 1024, "cell": 2048, "rpd": 512,
-                     "steps": 16000, "ppl_final_batch": round(ppl, 1)},
+                     "steps": int(os.environ.get("RNNLM_STEPS", 16000)), "ppl_final_batch": round(ppl, 1)},
            "sweep": {}}
     best = None
-    for w in (0.3, 0.5, 0.8):
+    for w in (0.1, 0.2, 0.3, 0.5):
         bests = rescore_nbest_rnnlm_batched(nbests_fg, lm4, scorer,
                                             lm_scale=1.0, interp_weight=w,
                                             word_to_token=wtt)
