@@ -113,7 +113,18 @@ def main():
            "corpus": ("300-vocab, symmetric +-1 coarticulation" if SYM
                       else "e2e_wer 300-vocab (left-1 coarticulation only)"),
            "table": {}}
+    path0 = ("docs/context_compare_sym.json" if SYM
+             else "docs/context_compare.json")
+    if os.path.exists(path0):  # resume: keep completed contender rows
+        try:
+            with open(path0) as f:
+                out["table"].update(json.load(f).get("table", {}))
+        except Exception:
+            pass
     for name, (tree, ll) in contenders.items():
+        if name in out["table"]:
+            print(f"{name}: kept from {path0}", flush=True)
+            continue
         t0 = time.time()
         bundle = prepare_data(train, train_phones, tree, topo, P,
                               dev_fraction=0.05, phone_lm_order=3,
