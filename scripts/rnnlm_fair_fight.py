@@ -39,6 +39,10 @@ def main():
 
     import pickle
 
+    # build_setup _save()s its partial progress dict to
+    # docs/e2e_flagship.json — neutralize it here so a side run never
+    # clobbers the committed flagship artifact (observed once)
+    flag._save = lambda *a, **k: None
     setup = flag.build_setup()
     (cfg, utts, prons, word_seqs, text, bundle, tree, topo, test, train,
      iv_test, iv_train) = setup
