@@ -38,6 +38,10 @@ N_TEST = 60
 # E2E_SILENCE=1: optional-silence variant (silence corpus + silence-aware
 # HCLG, prepare_lang semantics) -> docs/e2e_wer_sil.json
 SILENCE = os.environ.get("E2E_SILENCE", "") == "1"
+# E2E_HARD=1: higher emission noise -> nonzero first-pass WER so the
+# rescoring deltas are measurable (post-tree-fix the default corpus
+# decodes at 0.0% everywhere) -> docs/e2e_wer_hard.json
+HARD = os.environ.get("E2E_HARD", "") == "1"
 
 
 def build_setup():
@@ -52,7 +56,8 @@ def build_setup():
         vocab_size=300, num_phones=31 if SILENCE else 30, feat_dim=24,
         num_utts=720,
         min_words=4, max_words=12, min_pron=2, max_pron=5, mean_dur=3.5,
-        emission_noise=1.3, context_shift=1.0, num_speakers=8,
+        emission_noise=2.2 if HARD else 1.3,
+        context_shift=1.0, num_speakers=8,
         speaker_shift=1.0, silence_prob=0.3 if SILENCE else 0.0, seed=0)
     utts, prons, word_seqs, phone_seqs, _, topo = make_word_corpus(cfg)
     test, train = utts[:N_TEST], utts[N_TEST:]
@@ -202,8 +207,9 @@ def run_base():
                               if wer_rnn is not None else None),
     }
     os.makedirs("docs", exist_ok=True)
-    with open("docs/e2e_wer_sil.json" if SILENCE else "docs/e2e_wer.json",
-              "w") as f:
+    path = ("docs/e2e_wer_sil.json" if SILENCE
+            else "docs/e2e_wer_hard.json" if HARD else "docs/e2e_wer.json")
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
     return cfg, utts, prons, word_seqs, bundle, tree, topo, test, g, lm3
