@@ -200,12 +200,15 @@ def main():
                 yield with_iv(b)
                 count += 1
 
-        # warm the loader-shaped jit variant
-        for b in prefetch_to_device(stream(2), size=2):
+        # warm the loader-shaped jit variant (bf16 payload: half the
+        # host->device bytes — the binding constraint through the tunnel;
+        # model-quality parity bounded by docs/bf16_parity.json)
+        for b in prefetch_to_device(stream(2), size=2, payload_bf16=True):
             state, m_sus = step(state, b, key)
         jax.block_until_ready(m_sus)
         t0 = time.perf_counter()
-        for b in prefetch_to_device(stream(n_steps), size=3):
+        for b in prefetch_to_device(stream(n_steps), size=3,
+                                    payload_bf16=True):
             state, m_sus = step(state, b, key)
         _fetch(m_sus)
         dt_sus = time.perf_counter() - t0

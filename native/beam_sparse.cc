@@ -129,7 +129,8 @@ int32_t beam_decode_sparse_native(
     int32_t* lat_node_time,    // [max_nodes]
     int32_t* lat_src, int32_t* lat_dst, int32_t* lat_word,  // [max_arcs]
     float* lat_am, float* lat_gs,                           // [max_arcs]
-    int32_t* lat_counts)       // [2]: n_nodes, n_arcs
+    int32_t* lat_counts,       // [2]: n_nodes, n_arcs
+    float* out_mean_active)    // [1]: mean surviving tokens/frame (or null)
 {
     const Graph g{out_start, arc_dst, arc_w, arc_word, state_pdf, final_w, S};
     StateMap smap(S);
@@ -250,6 +251,11 @@ int32_t beam_decode_sparse_native(
         }
         tok_states = us;
         tok_scores = usc;
+    }
+    if (out_mean_active) {
+        double tot = 0.0;
+        for (int32_t t = 0; t < T; ++t) tot += (double)fr_state[t].size();
+        out_mean_active[0] = T > 0 ? (float)(tot / T) : 0.0f;
     }
 
     // --- final epsilon pass + one-best traceback ----------------------

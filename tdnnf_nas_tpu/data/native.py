@@ -109,7 +109,7 @@ def _bind_symbols(lib: ctypes.CDLL) -> None:
         ctypes.c_int32, ctypes.c_float,
         ctypes.c_int32, i32p, i32p, f32p,
         ctypes.c_int32, ctypes.c_int32,
-        i32p, i32p, i32p, i32p, f32p, f32p, i32p,
+        i32p, i32p, i32p, i32p, f32p, f32p, i32p, f32p,
     ]
     lib.beam_decode_sparse_native.restype = ctypes.c_int32
 
@@ -381,6 +381,7 @@ def beam_decode_sparse_csr_native(
         l_am = np.zeros((max_arcs,), np.float32)
         l_gs = np.zeros((max_arcs,), np.float32)
         counts = np.zeros((2,), np.int32)
+        mean_active = np.zeros((1,), np.float32)
         rc = lib.beam_decode_sparse_native(
             _f32p(obs), t, p, i64p_, _i32p(arc_dst), _f32p(arc_w),
             _i32p(arc_word), _i32p(spdf), _f32p(finw),
@@ -390,7 +391,7 @@ def beam_decode_sparse_csr_native(
             int(max_words), _i32p(out_words), _i32p(out_n), _f32p(out_score),
             int(max_nodes), int(max_arcs), _i32p(node_time), _i32p(l_src),
             _i32p(l_dst), _i32p(l_word), _f32p(l_am), _f32p(l_gs),
-            _i32p(counts),
+            _i32p(counts), _f32p(mean_active),
         )
         if rc == -1:
             raise BeamSearchDied("beam search died (native)")
@@ -402,6 +403,7 @@ def beam_decode_sparse_csr_native(
         break
     words = out_words[: int(out_n[0])].tolist()
     score = float(out_score[0])
+    n_active = float(mean_active[0])
     lat = None
     if lattice:
         n_nodes, n_arcs = int(counts[0]), int(counts[1])
@@ -415,7 +417,7 @@ def beam_decode_sparse_csr_native(
             arc_am=l_am[:n_arcs][order].copy(),
             arc_gs=l_gs[:n_arcs][order].copy(),
         )
-    return words, score, lat
+    return words, score, lat, n_active
 
 
 def edit_distance_batch_native(refs: List[Sequence[int]], hyps: List[Sequence[int]]):

@@ -132,11 +132,12 @@ def beam_decode_sparse(
 
             if get_lib() is not None:
                 def once(obs, g_, ac, b_, ma, lat, lb):  # noqa: E306
-                    words, score, l = beam_decode_sparse_csr_native(
+                    words, score, l, n_active = beam_decode_sparse_csr_native(
                         obs, g_, acoustic_scale=ac, beam=b_, max_active=ma,
                         lattice=lat, lattice_beam=lb)
                     return BeamDecodeResult(words=words, score=score,
-                                            lattice=l)
+                                            lattice=l,
+                                            num_active_mean=n_active)
             elif native == "always":
                 raise RuntimeError("native library unavailable")
         except ImportError:

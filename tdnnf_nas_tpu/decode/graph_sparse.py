@@ -320,6 +320,11 @@ def build_hclg_sparse(
         return base
 
     sil_left = (sil_phone,)[:tctx] if use_sil else ()
+    # the actual start junction's context: (BOS,) when the LM has one, else
+    # the unigram junction () (order-1 LMs) — keying the no-silence penalty
+    # on the junction the initial-silence arc actually leaves keeps outgoing
+    # mass normalized in either configuration
+    start_ctx = (BOS,) if (BOS,) in ctx_states else ()
     for ctx, words in by_ctx.items():
         base_sid = ctx_states[ctx]
         # utterance-initial no-silence penalty: the start junction's
@@ -328,7 +333,7 @@ def build_hclg_sparse(
         # ln(1-sil_prob) — mirroring the word-final exit treatment and
         # Kaldi make_lexicon_fst silprob semantics (outgoing mass sums
         # to 1 at the start junction)
-        startpen = ln_nosil if (use_sil and ctx == (BOS,)) else 0.0
+        startpen = ln_nosil if (use_sil and ctx == start_ctx) else 0.0
         if ctx:
             # ordinary junction: one flag-0 source with its left context
             srcs = [(base_sid, left_of_ctx(ctx))]
@@ -377,7 +382,7 @@ def build_hclg_sparse(
             else:
                 dst0 = ctx_states[ctx[1:]]
             # backoff out of the start junction also skips initial silence
-            bo_pen = ln_nosil if (use_sil and ctx == (BOS,)) else 0.0
+            bo_pen = ln_nosil if (use_sil and ctx == start_ctx) else 0.0
             add_arc(sid, dst0, lm_scale * bow * _LN10 + bo_pen)
             if use_sil:
                 add_arc(n_ctx + sid, n_ctx + ctx_states[ctx[1:]],

@@ -472,8 +472,12 @@ def rescore_lattice_rnnlm(
     def mix(lp_rnn: float, lp_old: float) -> float:
         if interp_weight >= 1.0:
             return lp_rnn
-        return float(np.logaddexp(math.log(interp_weight) + lp_rnn,
-                                  math.log(1.0 - interp_weight) + lp_old))
+        if interp_weight <= 0.0:
+            return lp_old
+        # clamped like rescore_nbest_rnnlm_batched (w=0/1 endpoints exact)
+        return float(np.logaddexp(math.log(max(interp_weight, 1e-30)) + lp_rnn,
+                                  math.log(max(1.0 - interp_weight, 1e-30))
+                                  + lp_old))
     outs = lat.out_arcs()
     order = _node_order(lat)
     # states[node]: {hist_key: (score, words, rnn_state)}

@@ -20,7 +20,7 @@ enter(p_from_left_l), giving S = P*(P+1) + P states.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -117,6 +117,10 @@ class CompiledDenFsa:
     # carry the next phone; walk keys are (pos, commitment) from normal
     # positions and (pos, consumed, commitment) from wildcard ones
     committed: bool = False
+    # positions whose out-arcs span source classes but are IDENTICAL across
+    # the group (the committed composition's wildcard/EOS restarts) — the
+    # blocked kernel factors them as rank-R broadcast terms
+    wildcard_positions: Optional[List[int]] = None
 
     def to_state_graph(self) -> StateGraph:
         """Dense [S,S] export (tests / small graphs)."""
@@ -192,6 +196,309 @@ class CompiledDenFsa:
             trans_pos_lo=tp_lo,
             pdf_perm=jnp.asarray(perm),
             pdf_bounds=jnp.asarray(bounds),
+        )
+
+    def to_blocked(self, superblocks: int = 8, enter_pad: int = 4,
+                   budget_entries: int = 64_000_000):
+        """Device BlockedDenGraph (superblocked transition form).
+
+        Discovers the source-class partition generically by union-find over
+        sources sharing a destination position (for left-context
+        compositions this recovers the "most recent phone" De Bruijn
+        classes; ~47 at the flagship 4-gram x 6k-pdf scale), then merges the
+        classes into ``superblocks`` balanced groups for MXU-friendly block
+        matmuls.  Every position's enter states are padded into runs of
+        ``enter_pad`` (R); positions with more enters split into several
+        subpositions carrying identical out-rows (their masses add, so the
+        recursion is exact).  Topology self-loops fold into W as diagonal
+        loop columns; ``wildcard_positions`` (identical-out-arc hubs of the
+        committed +-1 composition) become rank-R broadcast terms.  See
+        `ops/fwdbwd.BlockedDenGraph` for the layout and per-frame recursion.
+        Raises ValueError when the padded block volume exceeds
+        ``budget_entries`` (caller falls back to :meth:`to_factored`).
+        """
+        from tdnnf_nas_tpu.ops.fwdbwd import BlockedDenGraph
+        import jax.numpy as jnp
+
+        r_pad = int(enter_pad)
+        npos, s = self.num_positions, self.num_states
+        seg = np.asarray(self.seg_bounds, np.int64)
+        pos_of_state = np.zeros((s,), np.int64)
+        for p in range(npos):
+            pos_of_state[seg[p]: seg[p + 1]] = p
+        loop_of = np.full((npos,), -1, np.int64)
+        for pid, st in self.loop_state.items():
+            loop_of[pid] = st
+        src = np.asarray(self.arc_src_pos, np.int64)
+        dst = np.asarray(self.arc_dst, np.int64)
+        w = np.asarray(self.arc_w, np.float64)
+        is_loop = dst == loop_of[src]
+        wild = np.zeros((npos,), bool)
+        if self.wildcard_positions:
+            wild[np.asarray(self.wildcard_positions, np.int64)] = True
+        blocked = ~is_loop & ~wild[src]
+        bsrc, bdst_pos = src[blocked], pos_of_state[dst[blocked]]
+
+        # ---- union-find: all (non-wildcard) sources of a dest position
+        # share a class ----
+        parent = np.arange(npos)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        order = np.argsort(bdst_pos, kind="stable")
+        os_, od_ = bsrc[order], bdst_pos[order]
+        dbounds = np.searchsorted(od_, np.arange(npos + 1))
+        for d in range(npos):
+            lo, hi = dbounds[d], dbounds[d + 1]
+            if hi - lo > 1:
+                rt = find(os_[lo])
+                for x in os_[lo + 1: hi]:
+                    parent[find(x)] = rt
+        roots = np.array([find(i) for i in range(npos)])
+        src_classes = np.unique(roots[np.unique(bsrc)]) if len(bsrc) else \
+            np.array([0])
+        class_of_root = {rt: i for i, rt in enumerate(src_classes)}
+        raw_c = len(src_classes)
+
+        src_class = np.full((npos,), -1, np.int64)
+        has_blocked_out = np.zeros((npos,), bool)
+        if len(bsrc):
+            has_blocked_out[np.unique(bsrc)] = True
+        for p in range(npos):
+            if has_blocked_out[p]:
+                src_class[p] = class_of_root[roots[p]]
+        dst_class = np.full((npos,), -1, np.int64)
+        for d in range(npos):
+            lo, hi = dbounds[d], dbounds[d + 1]
+            if hi > lo:
+                dst_class[d] = class_of_root[roots[os_[lo]]]
+
+        # ---- subposition counts (positions split into ceil(enters/R)) ----
+        n_enter_pos = np.array(
+            [(seg[p + 1] - seg[p]) - (loop_of[p] >= 0) for p in range(npos)],
+            np.int64)
+        n_sub_pos = np.maximum((n_enter_pos + r_pad - 1) // r_pad, 1)
+
+        # ---- merge raw classes into balanced superblocks ----
+        c_count = max(1, min(int(superblocks), raw_c))
+        # per raw class: subposition load (sources assigned + dests assigned
+        # track the same positions via different roles; balance on the sum)
+        src_load = np.zeros((raw_c,), np.int64)
+        dst_load = np.zeros((raw_c,), np.int64)
+        for p in range(npos):
+            if src_class[p] >= 0:
+                src_load[src_class[p]] += n_sub_pos[p]
+            if dst_class[p] >= 0:
+                dst_load[dst_class[p]] += n_sub_pos[p]
+        sb_of_class = np.zeros((raw_c,), np.int64)
+        sb_load = np.zeros((c_count,), np.int64)
+        for cls in np.argsort(-(src_load + dst_load)):
+            sb = int(np.argmin(sb_load))
+            sb_of_class[cls] = sb
+            sb_load[sb] += src_load[cls] + dst_load[cls]
+        src_sb = np.where(src_class >= 0, sb_of_class[src_class], -1)
+        dst_sb = np.where(dst_class >= 0, sb_of_class[dst_class], -1)
+
+        # greedy balance for unassigned positions (wildcards, hubs, BOS)
+        fill = np.bincount(src_sb[src_sb >= 0],
+                           weights=n_sub_pos[src_sb >= 0],
+                           minlength=c_count)
+        for p in range(npos):
+            if src_sb[p] < 0:
+                sb = int(np.argmin(fill))
+                src_sb[p] = sb
+                fill[sb] += n_sub_pos[p]
+        fill = np.bincount(dst_sb[dst_sb >= 0],
+                           weights=n_sub_pos[dst_sb >= 0],
+                           minlength=c_count)
+        for d in range(npos):
+            if dst_sb[d] < 0:
+                sb = int(np.argmin(fill))
+                dst_sb[d] = sb
+                fill[sb] += n_sub_pos[d]
+
+        nsrc = int(np.bincount(src_sb, weights=n_sub_pos,
+                               minlength=c_count).max())
+        ndpos = int(np.bincount(dst_sb, weights=n_sub_pos,
+                                minlength=c_count).max())
+        ndp = r_pad * ndpos + nsrc
+        if c_count * nsrc * ndp > budget_entries:
+            raise ValueError(
+                f"blocked den too large: {c_count} x {nsrc} x {ndp} "
+                f"> {budget_entries} entries")
+
+        # ---- slot layouts ----
+        # source slots: per superblock, positions in id order, one slot per
+        # subposition (consecutive)
+        cs_total = c_count * nsrc
+        sub0_src = np.full((npos,), -1, np.int64)  # first source slot
+        fill = np.zeros((c_count,), np.int64)
+        for p in range(npos):
+            sb = src_sb[p]
+            sub0_src[p] = sb * nsrc + fill[sb]
+            fill[sb] += n_sub_pos[p]
+        # dest subpositions: per superblock, positions in id order
+        sub0_dst = np.full((npos,), -1, np.int64)  # first dest SUBPOS index
+        fill = np.zeros((c_count,), np.int64)
+        for d in range(npos):
+            sb = dst_sb[d]
+            sub0_dst[d] = sb * ndpos + fill[sb]
+            fill[sb] += n_sub_pos[d]
+
+        # enter slot of state = plane position inside its subposition run
+        # plane layout per superblock: [r_pad * ndpos enters | nsrc loops]
+        def enter_plane_slot(d, k):
+            """k-th enter state of dest position d -> virtual plane index."""
+            sub = sub0_dst[d] + k // r_pad
+            sb, sub_in = divmod(sub, ndpos)
+            return sb * ndp + sub_in * r_pad + (k % r_pad)
+
+        def loop_plane_slot(p):
+            slot = sub0_src[p]  # loop column on the FIRST source sub-slot
+            sb, i = divmod(slot, nsrc)
+            return sb * ndp + r_pad * ndpos + i
+
+        enter_slot = np.full((s,), -1, np.int64)
+        for d in range(npos):
+            k = 0
+            for st in range(seg[d], seg[d + 1]):
+                if st == loop_of[d]:
+                    continue
+                enter_slot[st] = enter_plane_slot(d, k)
+                k += 1
+
+        state_pdf = np.asarray(self.state_pdf, np.int64)
+        init = np.asarray(self.init, np.float64)
+        final = np.asarray(self.final, np.float64)
+
+        # ---- W blocks (enter arcs + diagonal loop columns) ----
+        w_blocks = np.zeros((c_count, nsrc, ndp), np.float64)
+        for a_i in np.nonzero(blocked)[0]:
+            p, st, wt = src[a_i], dst[a_i], w[a_i]
+            es = enter_slot[st]
+            sb, j = divmod(es, ndp)
+            assert sb == src_sb[p], "superblock mismatch"
+            # identical rows for all of p's source sub-slots
+            i0 = sub0_src[p] - sb * nsrc
+            for i in range(i0, i0 + n_sub_pos[p]):
+                w_blocks[sb, i, j] += wt
+        for a_i in np.nonzero(is_loop)[0]:
+            p, wt = src[a_i], w[a_i]
+            sb, i0 = divmod(sub0_src[p], nsrc)
+            # loop column only on the first sub-slot, but every sub-slot's
+            # row must carry the arc (all of p's mass loops)
+            for i in range(i0, i0 + n_sub_pos[p]):
+                w_blocks[sb, i, r_pad * ndpos + i0] += wt
+
+        # ---- wildcard broadcast groups (identical out-arc signatures) ----
+        bcast_sel = bcast_vec = None
+        wild_ids = np.nonzero(wild)[0]
+        if len(wild_ids):
+            groups: Dict[tuple, list] = {}
+            arcs_by_src: Dict[int, list] = {int(p): [] for p in wild_ids}
+            for a_i in np.nonzero(~is_loop & wild[src])[0]:
+                arcs_by_src[int(src[a_i])].append(
+                    (int(dst[a_i]), float(w[a_i])))
+            for p, arcs in arcs_by_src.items():
+                sig = tuple(sorted(arcs))
+                groups.setdefault(sig, []).append(p)
+            r_count = len(groups)
+            bcast_sel = np.zeros((cs_total, r_count), np.float32)
+            bcast_vec = np.zeros((r_count, c_count * ndp), np.float64)
+            bcast_members = np.zeros((r_count,), np.float64)
+            for gi, (sig, members) in enumerate(sorted(groups.items())):
+                bcast_members[gi] = len(members)
+                for p in members:
+                    for i in range(n_sub_pos[p]):
+                        bcast_sel[sub0_src[p] + i, gi] = 1.0
+                for st, wt in sig:
+                    bcast_vec[gi, enter_slot[st]] += wt
+
+        # ---- virtual-axis vectors ----
+        v_total = c_count * ndp
+        pdf_v = np.zeros((v_total,), np.int32)
+        init_v = np.zeros((v_total,), np.float64)
+        final_v = np.zeros((v_total,), np.float64)
+        state_to_virtual = np.full((s,), -1, np.int64)
+        for st in range(s):
+            if enter_slot[st] >= 0:
+                state_to_virtual[st] = enter_slot[st]
+        for p in range(npos):
+            if loop_of[p] >= 0:
+                state_to_virtual[loop_of[p]] = loop_plane_slot(p)
+        assert (state_to_virtual >= 0).all(), "unmapped state"
+        assert len(np.unique(state_to_virtual)) == s, "slot collision"
+        pdf_v[state_to_virtual] = state_pdf
+        init_v[state_to_virtual] = init
+        final_v[state_to_virtual] = final
+
+        # ---- per-sub-slot init sums (leaky-HMM target distribution) ----
+        init_pos = np.zeros((cs_total,), np.float64)
+        for p in range(npos):
+            k = 0
+            for st in range(seg[p], seg[p + 1]):
+                sub = (0 if st == loop_of[p] else k // r_pad)
+                init_pos[sub0_src[p] + sub] += init[st]
+                if st != loop_of[p]:
+                    k += 1
+
+        # ---- permutation: source sub-slot -> dest subposition index ----
+        # (pads point at the appended zero slot c_count*ndpos); the map is
+        # injective on real entries, so the backward is a gather by the
+        # inverse (sentinel cs_total = no source)
+        perm = np.full((cs_total,), c_count * ndpos, np.int64)
+        perm_inv = np.full((c_count * ndpos,), cs_total, np.int64)
+        for p in range(npos):
+            for i in range(n_sub_pos[p]):
+                if n_enter_pos[p] > 0:
+                    perm[sub0_src[p] + i] = sub0_dst[p] + i
+                    perm_inv[sub0_dst[p] + i] = sub0_src[p] + i
+
+        # ---- validation: per-state total in-weight conservation ----
+        tot_ref = np.zeros((s,), np.float64)
+        np.add.at(tot_ref, dst, w)
+        # counting convention: an arc from position p contributes once per
+        # source SUB-slot in w_blocks; divide back by the multiplicity
+        mult = np.zeros((cs_total,), np.float64)
+        for p in range(npos):
+            mult[sub0_src[p]: sub0_src[p] + n_sub_pos[p]] = n_sub_pos[p]
+        wsum = (w_blocks / np.maximum(
+            mult.reshape(c_count, nsrc, 1), 1.0)).sum(axis=1).reshape(-1)
+        tot_new = wsum.copy()
+        if bcast_vec is not None:
+            # one arc per member POSITION (sub-slot betas telescope)
+            tot_new += (bcast_vec * bcast_members[:, None]).sum(axis=0)
+        got = tot_new[state_to_virtual]
+        if not np.allclose(got, tot_ref, rtol=1e-6, atol=1e-9):
+            bad = np.argmax(np.abs(got - tot_ref))
+            raise AssertionError(
+                f"blocked export weight mismatch at state {bad}: "
+                f"{got[bad]} vs {tot_ref[bad]}")
+
+        pperm = np.argsort(pdf_v, kind="stable").astype(np.int32)
+        bounds = np.searchsorted(
+            pdf_v[pperm], np.arange(self.num_pdfs + 1)).astype(np.int32)
+        return BlockedDenGraph(
+            w_blocks=jnp.asarray(w_blocks.astype(np.float32)),
+            perm=jnp.asarray(perm.astype(np.int32)),
+            perm_inv=jnp.asarray(perm_inv.astype(np.int32)),
+            init_pos=jnp.asarray(init_pos.astype(np.float32)),
+            pdf_virtual=jnp.asarray(pdf_v),
+            init_virtual=jnp.asarray(init_v.astype(np.float32)),
+            final_virtual=jnp.asarray(final_v.astype(np.float32)),
+            pdf_perm=jnp.asarray(pperm),
+            pdf_bounds=jnp.asarray(bounds),
+            bcast_sel=None if bcast_sel is None else jnp.asarray(bcast_sel),
+            bcast_vec=None if bcast_vec is None else jnp.asarray(
+                bcast_vec.astype(np.float32)),
+            enter_pad=r_pad,
+            num_states=s,
+            num_pdfs=self.num_pdfs,
+            state_to_virtual=state_to_virtual,
         )
 
     def init_lookup_seq(self, lm, phones) -> Tuple[np.ndarray, np.ndarray]:
@@ -415,6 +722,11 @@ def _compile_den_fsa_committed(lm, topo: ChainTopology, tree) -> CompiledDenFsa:
         pos_trans=pos_trans,
     )
     fsa.committed = True
+    # wildcard (EOS-commitment) positions share one identical out-arc list
+    # spanning all consumed-phone classes — the blocked kernel factors them
+    # as a rank-1 broadcast term instead of letting them merge the classes
+    fsa.wildcard_positions = [
+        pid for pid, key in enumerate(pos_list) if key[2] == -1]
     return fsa
 
 

@@ -607,3 +607,176 @@ def forward_score_factored(
         g.final, g.trans_pos, g.trans_pos_hi, g.trans_pos_lo, g.pdf_perm,
         g.pdf_bounds, float(leaky_coef),
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockedDenGraph:
+    """Class-blocked denominator graph — the production den kernel.
+
+    The composed den FSA (`graphs/den_graph.compile_denominator_fsa`) has a
+    second factorization beyond positions: the sources that can reach any
+    given destination position always share an equivalence class (for the
+    left-context composition this is "most recent phone" — a De Bruijn-graph
+    property of context shifting; discovered generically by union-find over
+    sources sharing a destination).  So the [Npos, S] position->state
+    transition, whose per-frame HBM re-streaming dominated the round-4 train
+    step (~137 MB/frame as a bf16 hi/lo pair), is really block-diagonal.
+    The raw classes (47 blocks of 84x201 at the flagship 4-gram x 6k-pdf
+    scale, 3 MB total) are merged into ~8 superblocks because XLA runs a
+    few [B,512]x[512,2k] matmuls an order of magnitude faster than 47 tiny
+    ones (measured 3.3 ms vs 62 ms for the 49-frame fwd+bwd chain).
+
+    Layout (single plane, one superblock row each):
+
+        [ R*NDP enter slots | NSRC loop slots ]  x  C superblocks
+
+    Every position's enter states are padded into runs of R ("subpositions";
+    positions with more than R enter pdfs split into several subpositions —
+    sound because sub-slots carry identical out-rows and their masses add).
+    Per-frame work is then three dense ops and ONE static gather:
+
+        beta_dst = alpha_enters.reshape(B, C*NDP, R).sum(-1)   (VPU)
+        beta     = beta_dst[perm] + alpha_loops (+ leaky*init) (gather)
+        alpha'   = einsum('bcs,csd->bcd', beta, W) * obs       (MXU)
+
+    with topology self-loops folded into W as diagonal loop columns and
+    renormalization fused behind.  Sources with identical out-arc lists
+    spanning many classes (the committed +-1 composition's wildcard/EOS
+    positions) factor as rank-R broadcast terms.
+
+    Same math as Kaldi's chain denominator (upstream
+    `src/chain/chain-denominator.cc`), exact f32 weights (no hi/lo splits
+    needed at this size), identical results to the factored/dense kernels.
+    Pad slots carry zero in-weight so they hold no mass and their obs
+    gradients are exactly zero.
+    """
+
+    w_blocks: jax.Array  # [C, NSRC, NDp] f32 (NDp = R*NDP + NSRC)
+    perm: jax.Array  # [C*NSRC] int32 into beta_dst padded (last = zero slot)
+    perm_inv: jax.Array  # [C*NDPOS] int32 inverse (C*NSRC = no source)
+    init_pos: jax.Array  # [C*NSRC] f32 per-subposition init sums (leaky)
+    pdf_virtual: jax.Array  # [C*NDp] int32
+    init_virtual: jax.Array  # [C*NDp] f32
+    final_virtual: jax.Array  # [C*NDp] f32
+    pdf_perm: jax.Array  # [C*NDp] int32 (segment-sum obs backward)
+    pdf_bounds: jax.Array  # [P+1] int32
+    bcast_sel: Optional[jax.Array]  # [C*NSRC, R] f32 or None
+    bcast_vec: Optional[jax.Array]  # [R, C*NDp] f32 or None
+    # static aux (not traced)
+    enter_pad: int = dataclasses.field(default=4)  # R
+    num_states: int = dataclasses.field(default=0)
+    num_pdfs: int = dataclasses.field(default=0)
+    state_to_virtual: Optional[np.ndarray] = dataclasses.field(default=None)
+
+    @property
+    def shape(self):
+        c, nsrc, ndp = self.w_blocks.shape
+        return c, nsrc, ndp
+
+    def tree_flatten(self):
+        return (self.w_blocks, self.perm, self.perm_inv, self.init_pos,
+                self.pdf_virtual, self.init_virtual, self.final_virtual,
+                self.pdf_perm, self.pdf_bounds, self.bcast_sel,
+                self.bcast_vec), (
+                    self.enter_pad, self.num_states, self.num_pdfs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        enter_pad, num_states, num_pdfs = aux
+        return cls(*children, enter_pad=enter_pad, num_states=num_states,
+                   num_pdfs=num_pdfs, state_to_virtual=None)
+
+
+@jax.custom_vjp
+def _perm_gather(x, perm, inv):
+    """Injective static-permutation gather with a gather backward.
+
+    x [B, N] -> y [B, M] = x_pad[:, perm] (index N = appended zero slot).
+    XLA's autodiff transpose of a gather is a sort-based scatter-add; for a
+    permutation the adjoint is simply a gather by the inverse (``inv`` [N],
+    sentinel M = no source -> zero) — measured meaningfully faster inside
+    the den scan.
+    """
+    xp = jnp.concatenate([x, jnp.zeros_like(x[:, :1])], axis=-1)
+    return xp[:, perm]
+
+
+def _perm_gather_fwd(x, perm, inv):
+    return _perm_gather(x, perm, inv), inv
+
+
+def _perm_gather_bwd(inv, g):
+    gp = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=-1)
+    return gp[:, inv], None, None
+
+
+_perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
+
+
+@partial(jax.jit, static_argnames=("leaky_coef_static", "enter_pad"))
+def _forward_score_blocked_impl(obs_logprob, w_blocks, perm, perm_inv,
+                                init_pos, pdf_virtual, init_virtual,
+                                final_virtual, pdf_perm, pdf_bounds,
+                                bcast_sel, bcast_vec, leaky_coef_static,
+                                enter_pad):
+    b, t, _ = obs_logprob.shape
+    c, nsrc, ndp = w_blocks.shape
+    r = enter_pad
+    ndpos = (ndp - nsrc) // r  # subpositions per superblock
+    v = c * ndp
+    obs_logprob = obs_logprob.astype(jnp.float32)
+    mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
+    obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
+    # plain take: at the blocked kernel's virtual width (~1.8x S) the
+    # autodiff scatter backward measures FASTER than the sorted segment-sum
+    # backward (whose cumsum spans the whole padded axis) — 12 vs 24 ms at
+    # the flagship shape
+    obs_virtual = jnp.take(obs_exp, pdf_virtual, axis=-1)  # [B,T,V]
+
+    a0 = init_virtual[None, :] * obs_virtual[:, 0]
+    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
+    alpha0 = a0 / c0[:, None]
+
+    obs_rest = jnp.moveaxis(obs_virtual[:, 1:], 1, 0)  # [T-1, B, V]
+
+    def step(alpha, obs_t):
+        a3 = alpha.reshape(b, c, ndp)
+        beta_dst = a3[:, :, : r * ndpos].reshape(b, c * ndpos, r).sum(-1)
+        a_loop = a3[:, :, r * ndpos:].reshape(b, c * nsrc)
+        beta = _perm_gather(beta_dst, perm, perm_inv) + a_loop
+        if leaky_coef_static > 0.0:
+            beta = beta + leaky_coef_static * init_pos[None, :]
+        a = jnp.einsum(
+            "bcs,csd->bcd", beta.reshape(b, c, nsrc), w_blocks,
+            preferred_element_type=jnp.float32).reshape(b, v)
+        if bcast_sel is not None:
+            wm = jnp.matmul(beta, bcast_sel,
+                            preferred_element_type=jnp.float32)  # [B, R]
+            a = a + jnp.matmul(wm, bcast_vec,
+                               preferred_element_type=jnp.float32)
+        a = a * obs_t
+        cnorm = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
+        return a / cnorm[:, None], jnp.log(cnorm)
+
+    alpha_last, logcs = jax.lax.scan(step, alpha0, obs_rest)
+    log_final = jnp.log(jnp.maximum(
+        jnp.sum(alpha_last * final_virtual[None, :], axis=-1), _TINY))
+    return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(
+        mx[:, :, 0], axis=1)
+
+
+def forward_score_blocked(
+    obs_logprob: jax.Array,
+    g: "BlockedDenGraph",
+    leaky_coef: float = 0.0,
+) -> jax.Array:
+    """forward_score over a BlockedDenGraph — identical math to the
+    factored/dense kernels (tested bit-close), with the transition as
+    VMEM-scale class blocks instead of the [Npos, S] matmul."""
+    return _forward_score_blocked_impl(
+        obs_logprob, g.w_blocks, g.perm, g.perm_inv, g.init_pos,
+        g.pdf_virtual, g.init_virtual, g.final_virtual, g.pdf_perm,
+        g.pdf_bounds, g.bcast_sel, g.bcast_vec, float(leaky_coef),
+        int(g.enter_pad),
+    )

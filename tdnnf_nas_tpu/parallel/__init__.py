@@ -4,5 +4,6 @@ from tdnnf_nas_tpu.parallel.mesh import (
     replicated_sharding,
     put_replicated,
     put_batch,
+    compress_batch_bf16,
     prefetch_to_device,
 )

@@ -63,14 +63,34 @@ def put_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
-def prefetch_to_device(it, size: int = 2, mesh: Mesh = None):
+def compress_batch_bf16(batch):
+    """Cast the dense float payload (feats, i-vectors) to bf16 on the HOST
+    before transfer — halves host->device bytes, the binding constraint of
+    a tunnel-fed input pipeline.  Supervision arrays keep their dtypes
+    (masks are already u8; weights are tiny).  Models cast inputs to their
+    compute dtype anyway (bf16 at the flagship), so this loses nothing the
+    bf16 A/B harness (docs/bf16_parity.json) hasn't already bounded."""
+    import ml_dtypes
+
+    out = dict(batch)
+    for k in ("feats", "ivectors"):
+        v = out.get(k)
+        if v is not None and getattr(v, "dtype", None) == np.float32:
+            out[k] = np.asarray(v).astype(ml_dtypes.bfloat16)
+    return out
+
+
+def prefetch_to_device(it, size: int = 2, mesh: Mesh = None,
+                       payload_bf16: bool = False):
     """Wrap a host batch iterator with a background thread that stages the
     next ``size`` batches on device while the current step runs.
 
     Host->device copies are the dominant cost of a streamed input pipeline
     (especially through a remote-device tunnel); overlapping them with
     compute recovers most of the device-only throughput — the egs-feeding
-    analogue of Kaldi's double-buffered example reader.
+    analogue of Kaldi's double-buffered example reader.  ``payload_bf16``
+    additionally halves the transferred feature bytes
+    (:func:`compress_batch_bf16`).
     """
     import queue as _queue
     import threading
@@ -82,6 +102,8 @@ def prefetch_to_device(it, size: int = 2, mesh: Mesh = None):
     stop = threading.Event()
 
     def put(x):
+        if payload_bf16:
+            x = compress_batch_bf16(x)
         if mesh is not None:
             return put_batch(x, mesh)
         return jax.tree.map(jnp.asarray, x)

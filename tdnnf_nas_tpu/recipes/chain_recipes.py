@@ -170,8 +170,12 @@ def prepare_data(utts, phone_seqs, tree, topo, num_phones: int,
                                  num_extra_lm_states=num_extra_lm_states)
     comp = compile_denominator_fsa(lm, topo, tree)
     den = comp.to_state_graph() if comp.num_states <= max_dense_states else None
+    try:
+        den_arrays = comp.to_blocked()
+    except ValueError:  # degenerate class structure: padded blocks too big
+        den_arrays = comp.to_factored()
     return DataBundle(
-        lm=lm, den=den, den_arrays=comp.to_factored(), tree=tree, topo=topo,
+        lm=lm, den=den, den_arrays=den_arrays, tree=tree, topo=topo,
         train_utts=train, dev_utts=dev, num_phones=num_phones, den_fsa=comp,
         train_ivectors=iv_train, dev_ivectors=iv_dev,
     )

@@ -26,10 +26,12 @@ import jax.numpy as jnp
 from tdnnf_nas_tpu.core.config import Config
 from tdnnf_nas_tpu.graphs.supervision import ChunkSupervision
 from tdnnf_nas_tpu.ops.fwdbwd import (
+    BlockedDenGraph,
     DenGraphArrays,
     FactoredDenGraph,
     SparseDenGraph,
     forward_score,
+    forward_score_blocked,
     forward_score_factored,
     forward_score_linear,
     forward_score_sparse,
@@ -61,7 +63,12 @@ def chain_objective(
     b, t, p = chain_out.shape
     n_frames = b * t
 
-    if isinstance(den, FactoredDenGraph):
+    if isinstance(den, BlockedDenGraph):
+        # class-blocked den (production composed graphs; VMEM-scale blocks)
+        logz_den = forward_score_blocked(
+            chain_out, den, leaky_coef=cfg.leaky_hmm_coef,
+        )
+    elif isinstance(den, FactoredDenGraph):
         # position-factored den (composed 4-gram/triphone graphs)
         logz_den = forward_score_factored(
             chain_out, den, leaky_coef=cfg.leaky_hmm_coef,

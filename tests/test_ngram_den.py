@@ -145,6 +145,79 @@ def test_factored_kernel_matches_dense_and_reference():
     np.testing.assert_allclose(np.asarray(gm), np.asarray(gd), atol=5e-3)
 
 
+def test_blocked_kernel_matches_dense():
+    """The superblocked den kernel (class union-find + subposition padding
+    + loop-column folding) must match the dense kernel bit-close for logZ
+    AND gradients, at several superblock/enter-pad configurations."""
+    from tdnnf_nas_tpu.ops.fwdbwd import forward_score_blocked
+
+    p = 5
+    seqs = _seqs(p, seed=2)
+    lm = estimate_ngram_phone_lm(seqs, p, order=3, num_extra_lm_states=20)
+    topo = ChainTopology(p)
+    tree = BiphoneTree(p)
+    comp = compile_denominator_fsa(lm, topo, tree)
+    g = comp.to_state_graph()
+    rng = np.random.RandomState(1)
+    obs = rng.randn(3, 10, tree.num_pdfs).astype(np.float32)
+    gd = jax.grad(lambda o: jnp.sum(forward_score(
+        o, jnp.asarray(g.trans), jnp.asarray(g.state_pdf),
+        jnp.asarray(g.init), jnp.asarray(g.final), leaky_coef=0.1)))(
+        jnp.asarray(obs))
+    for sb, r in ((8, 4), (3, 2), (1, 1)):
+        blk = comp.to_blocked(superblocks=sb, enter_pad=r)
+        for leaky in (0.0, 0.1):
+            zb = forward_score_blocked(jnp.asarray(obs), blk,
+                                       leaky_coef=leaky)
+            zd = forward_score(jnp.asarray(obs), jnp.asarray(g.trans),
+                               jnp.asarray(g.state_pdf),
+                               jnp.asarray(g.init), jnp.asarray(g.final),
+                               leaky_coef=leaky)
+            np.testing.assert_allclose(np.asarray(zb), np.asarray(zd),
+                                       rtol=2e-5, atol=2e-5)
+        gb = jax.grad(lambda o: jnp.sum(forward_score_blocked(o, blk, 0.1)))(
+            jnp.asarray(obs))
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                                   atol=2e-5)
+
+
+def test_blocked_kernel_committed_wildcard():
+    """Blocked export of the committed (+-1) composition: the wildcard/EOS
+    positions span all classes and must factor as the rank-1 broadcast
+    term, with logZ/grad parity vs the dense export."""
+    from tdnnf_nas_tpu.graphs import (accumulate_cross_triphone_stats,
+                                      build_clustered_cross_triphone_tree)
+    from tdnnf_nas_tpu.ops.fwdbwd import forward_score_blocked
+
+    P = 6
+    rng = np.random.RandomState(0)
+    seqs = [list(rng.randint(0, P, rng.randint(4, 12))) for _ in range(60)]
+    feats = [rng.randn(len(s) * 3, 8).astype(np.float32) for s in seqs]
+    begins = [list(range(len(s))) for s in seqs]
+    stats = accumulate_cross_triphone_stats(feats, seqs, begins, P, 1)
+    tree = build_clustered_cross_triphone_tree(stats, num_leaves=30)
+    lm = estimate_ngram_phone_lm(seqs, P, order=4, num_extra_lm_states=20)
+    comp = compile_denominator_fsa(lm, ChainTopology(P), tree)
+    assert comp.committed and comp.wildcard_positions
+    g = comp.to_state_graph()
+    blk = comp.to_blocked()
+    assert blk.bcast_sel is not None  # wildcards really took the rank-R path
+    obs = rng.randn(3, 10, tree.num_pdfs).astype(np.float32)
+    zb = forward_score_blocked(jnp.asarray(obs), blk, leaky_coef=0.1)
+    zd = forward_score(jnp.asarray(obs), jnp.asarray(g.trans),
+                       jnp.asarray(g.state_pdf), jnp.asarray(g.init),
+                       jnp.asarray(g.final), leaky_coef=0.1)
+    np.testing.assert_allclose(np.asarray(zb), np.asarray(zd), rtol=2e-5,
+                               atol=2e-5)
+    gd = jax.grad(lambda o: jnp.sum(forward_score(
+        o, jnp.asarray(g.trans), jnp.asarray(g.state_pdf),
+        jnp.asarray(g.init), jnp.asarray(g.final), leaky_coef=0.1)))(
+        jnp.asarray(obs))
+    gb = jax.grad(lambda o: jnp.sum(forward_score_blocked(o, blk, 0.1)))(
+        jnp.asarray(obs))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd), atol=2e-5)
+
+
 def test_numerator_subset_of_ngram_den():
     """With the 4-gram den and init_lookup_seq numerator init, logZ_num <=
     logZ_den for any observations (numerator paths are a weight-exact
@@ -182,7 +255,7 @@ def test_training_on_composed_den_improves_objective():
     from tdnnf_nas_tpu.recipes.chain_recipes import prepare_data, train_model
     from tdnnf_nas_tpu.models import TdnnfModelConfig
     from tdnnf_nas_tpu.train import TrainerConfig, OptimizerConfig
-    from tdnnf_nas_tpu.ops.fwdbwd import FactoredDenGraph
+    from tdnnf_nas_tpu.ops.fwdbwd import BlockedDenGraph
 
     cfg = SyntheticCorpusConfig(num_utts=48, num_phones=6, feat_dim=12,
                                 context_shift=1.5)
@@ -193,7 +266,7 @@ def test_training_on_composed_den_improves_objective():
     tree = build_clustered_triphone_tree(stats, num_leaves=24)
     bundle = prepare_data(utts, phone_seqs, tree, topo, cfg.num_phones,
                           phone_lm_order=4, num_extra_lm_states=60)
-    assert isinstance(bundle.den_arrays, FactoredDenGraph)
+    assert isinstance(bundle.den_arrays, BlockedDenGraph)
     model_cfg = TdnnfModelConfig(
         feat_dim=12, ivector_dim=0, hidden_dim=48, bottleneck_dim=12,
         time_strides=(1, 3), num_pdfs=tree.num_pdfs, prefinal_big=48,
