@@ -130,7 +130,10 @@ def main():
 
     model_cfg = TdnnfModelConfig(num_pdfs=tree.num_pdfs)  # 7q flagship
     trainer_cfg = TrainerConfig(
-        objective=ChainObjectiveConfig(),
+        # bf16 expanded observations in the blocked den (recursion stays
+        # f32; bounded by tests/test_ngram_den.py::
+        # test_blocked_kernel_obs_bf16_close and the bf16 A/B harness)
+        objective=ChainObjectiveConfig(den_obs_bf16=True),
         optimizer=OptimizerConfig(kind="adam", lr_initial=1e-3, lr_final=1e-4,
                                   num_steps=100000))
     chunks = bundle.egs(model_cfg, chunk_width=chunk_width,

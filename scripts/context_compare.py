@@ -30,8 +30,13 @@ import numpy as np
 LEAVES = 400
 STEPS = 800
 # "sym": symmetric +-1 coarticulation corpus (right_context_shift on) ->
-# docs/context_compare_sym.json; default: the left-colored e2e corpus
-SYM = len(sys.argv) > 1 and sys.argv[1] == "sym"
+# docs/context_compare_sym.json; default: the left-colored e2e corpus.
+# "symhard": sym corpus at higher emission noise -> WERs in a range where
+# the trees actually separate (the clean variants saturate at <=1%) ->
+# docs/context_compare_symhard.json
+MODE = sys.argv[1] if len(sys.argv) > 1 else ""
+SYM = MODE in ("sym", "symhard")
+HARD = MODE == "symhard"
 
 
 def main():
@@ -59,8 +64,9 @@ def main():
 
     cfg = WordCorpusConfig(
         vocab_size=300, num_phones=30, feat_dim=24, num_utts=720,
-        min_words=4, max_words=12, min_pron=2, max_pron=5, mean_dur=3.5,
-        emission_noise=1.3,
+        min_words=4, max_words=12,
+        min_pron=1 if HARD else 2, max_pron=3 if HARD else 5, mean_dur=3.5,
+        emission_noise=3.2 if HARD else 1.3,
         context_shift=0.8 if SYM else 1.0,
         right_context_shift=0.8 if SYM else 0.0,
         num_speakers=8, speaker_shift=1.0, seed=0)
@@ -110,10 +116,13 @@ def main():
     contenders["pm1"] = (tc, cluster_ll(sc, tc._fwd_table, tc._n_fwd))
 
     out = {"leaves": LEAVES, "steps": STEPS,
-           "corpus": ("300-vocab, symmetric +-1 coarticulation" if SYM
+           "corpus": ("300-vocab, symmetric +-1 coarticulation"
+                      + (", hard (noise 3.2, prons 1-3)" if HARD else "")
+                      if SYM
                       else "e2e_wer 300-vocab (left-1 coarticulation only)"),
            "table": {}}
-    path0 = ("docs/context_compare_sym.json" if SYM
+    path0 = ("docs/context_compare_symhard.json" if HARD
+             else "docs/context_compare_sym.json" if SYM
              else "docs/context_compare.json")
     if os.path.exists(path0):  # resume: keep completed contender rows
         try:
@@ -167,8 +176,7 @@ def main():
         }
         print(name, json.dumps(out["table"][name]), flush=True)
         os.makedirs("docs", exist_ok=True)
-        path = ("docs/context_compare_sym.json" if SYM
-                else "docs/context_compare.json")
+        path = path0
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
 

@@ -380,92 +380,11 @@ def run_base():
     # i-vectors already carry the speaker) and a NO-i-vector ablation
     # (where LHUC must earn the reference's +LHUC rows,
     # img/search_result.png rows 5-8).
-    import jax.numpy as jnp
 
-    from tdnnf_nas_tpu.data.egs import EgsConfig, batch_iterator, make_egs
-    from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
-    from tdnnf_nas_tpu.models import model_context
-    from tdnnf_nas_tpu.models.lhuc import adapt_lhuc, apply_model_lhuc
-
-    def lhuc_pass(mc_l, state_l, use_iv, base_hyps):
-        t0 = time.time()
-        left, right = model_context(mc_l)
-        fs = mc_l.frame_subsampling_factor
-        spk_train = {}
-        for i, u in enumerate(bundle.train_utts):
-            spk_train.setdefault(u.speaker, []).append(i)
-        hyps_l = [None] * len(test)
-        n_spk = 0
-
-        # params as jit ARGS (closed-over 19M-param arrays would be baked
-        # into the HLO as constants — observed to wedge the remote compile)
-        @jax.jit
-        def fwd_lhuc(params, bn_state, lhuc, feats, iv):
-            chain, _, _ = apply_model_lhuc(mc_l, params, bn_state,
-                                           lhuc, feats, iv, train=False)
-            return chain
-
-        # ONE decode shape for the whole stage: pad every utterance to the
-        # test-set max (single compile instead of one per 64-frame bucket)
-        t_max = max(len(u.pdf_align) for u in test)
-        t_pad_all = ((t_max + 63) // 64) * 64
-
-        egs_cfg = EgsConfig(chunk_width=50, left_context=left,
-                            right_context=right, max_phones_per_chunk=40)
-        for spk in sorted({u.speaker for u in test}):
-            idx = spk_train.get(spk, [])[:10]
-            if not idx:
-                continue
-            sutts = [bundle.train_utts[i] for i in idx]
-            sivs = ([bundle.train_ivectors[i] for i in idx]
-                    if use_iv else None)
-            chunks = make_egs(sutts, bundle.lm, topo, tree, egs_cfg,
-                              den_fsa=bundle.den_fsa, ivectors=sivs)
-            batches = []
-            for b in batch_iterator(chunks, 16, np.random.RandomState(0),
-                                    drop_last=False):
-                n_b = b["feats"].shape[0]
-                if n_b < 16:  # pad to one fixed shape across all speakers
-                    b = jax.tree.map(
-                        lambda a: (np.concatenate(
-                            [a, np.repeat(a[:1], 16 - n_b, 0)])
-                            if isinstance(a, np.ndarray)
-                            and a.ndim and a.shape[0] == n_b else a), b)
-                batches.append(jax.tree.map(jnp.asarray, b))
-                if len(batches) >= 8:
-                    break
-            lhuc, _ = adapt_lhuc(mc_l, state_l.params, state_l.bn_state,
-                                 bundle.den_arrays, tc.objective, batches,
-                                 num_steps=24, lr=0.2)
-            # decode this speaker's test utts with the adapted scales
-            tidx = [i for i, u in enumerate(test) if u.speaker == spk]
-            for i in tidx:
-                u = test[i]
-                t_out = len(u.pdf_align)
-                need = left + (t_pad_all - 1) * fs + 1 + right
-                feats = np.concatenate([
-                    np.repeat(u.feats[:1], left, 0), u.feats,
-                    np.repeat(u.feats[-1:], need, 0)])[None][:, :need]
-                iv_arg = (jnp.asarray(iv_test[i][None]) if use_iv
-                          else None)
-                obs = np.asarray(
-                    fwd_lhuc(state_l.params, state_l.bn_state, lhuc,
-                             jnp.asarray(feats), iv_arg), np.float32)[0]
-                res = beam_decode_sparse(obs[:t_out], g, beam=16.0,
-                                         max_active=10000, retry_beam=64.0)
-                hyps_l[i] = res.words
-            n_spk += 1
-        done = [i for i, h in enumerate(hyps_l) if h is not None]
-        wer_lhuc = score_corpus([refs[i] for i in done],
-                                [hyps_l[i] for i in done])["wer"]
-        base_sub = score_corpus([refs[i] for i in done],
-                                [base_hyps[i] for i in done])["wer"]
-        print(f"[7] LHUC iv={use_iv} ({n_spk} speakers, {len(done)} utts): "
-              f"WER {base_sub:.2f} -> {wer_lhuc:.2f} "
-              f"({time.time() - t0:.0f}s)", flush=True)
-        return {"speakers": n_spk, "utts": len(done),
-                "wer_before": round(base_sub, 2),
-                "wer_after": round(wer_lhuc, 2)}
+    def lhuc_pass(mc_l, state_l, use_iv, base_hyps, **kw):
+        return lhuc_adapt_and_decode(bundle, topo, tree, g, test, refs,
+                                     iv_test, tc.objective, mc_l, state_l,
+                                     use_iv, base_hyps, **kw)
 
     try:
         OUT["lhuc"] = lhuc_pass(mc, state, True, rep["hyps"])
@@ -539,6 +458,101 @@ def run_base():
     return setup, state, g, lm3, word_sym
 
 
+def lhuc_adapt_and_decode(bundle, topo, tree, g, test, refs, iv_test,
+                          objective_cfg, mc_l, state_l, use_iv, base_hyps,
+                          num_steps=24, lr=0.2, l2=0.0):
+    """Per-speaker LHUC enrollment + adapted decode of the speakers' test
+    utterances.  ``l2`` decays the logits toward identity (enrollment
+    regularization for the speaker-independent setting, VERDICT r4 #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdnnf_nas_tpu.data.egs import EgsConfig, batch_iterator, make_egs
+    from tdnnf_nas_tpu.decode.beam import beam_decode_sparse
+    from tdnnf_nas_tpu.decode.scoring import score_corpus
+    from tdnnf_nas_tpu.models import model_context
+    from tdnnf_nas_tpu.models.lhuc import adapt_lhuc, apply_model_lhuc
+
+    t0 = time.time()
+    left, right = model_context(mc_l)
+    fs = mc_l.frame_subsampling_factor
+    spk_train = {}
+    for i, u in enumerate(bundle.train_utts):
+        spk_train.setdefault(u.speaker, []).append(i)
+    hyps_l = [None] * len(test)
+    n_spk = 0
+
+    # params as jit ARGS (closed-over 19M-param arrays would be baked
+    # into the HLO as constants — observed to wedge the remote compile)
+    @jax.jit
+    def fwd_lhuc(params, bn_state, lhuc, feats, iv):
+        chain, _, _ = apply_model_lhuc(mc_l, params, bn_state,
+                                       lhuc, feats, iv, train=False)
+        return chain
+
+    # ONE decode shape for the whole stage: pad every utterance to the
+    # test-set max (single compile instead of one per 64-frame bucket)
+    t_max = max(len(u.pdf_align) for u in test)
+    t_pad_all = ((t_max + 63) // 64) * 64
+
+    egs_cfg = EgsConfig(chunk_width=50, left_context=left,
+                        right_context=right, max_phones_per_chunk=40)
+    for spk in sorted({u.speaker for u in test}):
+        idx = spk_train.get(spk, [])[:10]
+        if not idx:
+            continue
+        sutts = [bundle.train_utts[i] for i in idx]
+        sivs = ([bundle.train_ivectors[i] for i in idx]
+                if use_iv else None)
+        chunks = make_egs(sutts, bundle.lm, topo, tree, egs_cfg,
+                          den_fsa=bundle.den_fsa, ivectors=sivs)
+        batches = []
+        for b in batch_iterator(chunks, 16, np.random.RandomState(0),
+                                drop_last=False):
+            n_b = b["feats"].shape[0]
+            if n_b < 16:  # pad to one fixed shape across all speakers
+                b = jax.tree.map(
+                    lambda a: (np.concatenate(
+                        [a, np.repeat(a[:1], 16 - n_b, 0)])
+                        if isinstance(a, np.ndarray)
+                        and a.ndim and a.shape[0] == n_b else a), b)
+            batches.append(jax.tree.map(jnp.asarray, b))
+            if len(batches) >= 8:
+                break
+        lhuc, _ = adapt_lhuc(mc_l, state_l.params, state_l.bn_state,
+                             bundle.den_arrays, objective_cfg, batches,
+                             num_steps=num_steps, lr=lr, l2=l2)
+        # decode this speaker's test utts with the adapted scales
+        tidx = [i for i, u in enumerate(test) if u.speaker == spk]
+        for i in tidx:
+            u = test[i]
+            t_out = len(u.pdf_align)
+            need = left + (t_pad_all - 1) * fs + 1 + right
+            feats = np.concatenate([
+                np.repeat(u.feats[:1], left, 0), u.feats,
+                np.repeat(u.feats[-1:], need, 0)])[None][:, :need]
+            iv_arg = (jnp.asarray(iv_test[i][None]) if use_iv
+                      else None)
+            obs = np.asarray(
+                fwd_lhuc(state_l.params, state_l.bn_state, lhuc,
+                         jnp.asarray(feats), iv_arg), np.float32)[0]
+            res = beam_decode_sparse(obs[:t_out], g, beam=16.0,
+                                     max_active=10000, retry_beam=64.0)
+            hyps_l[i] = res.words
+        n_spk += 1
+    done = [i for i, h in enumerate(hyps_l) if h is not None]
+    wer_lhuc = score_corpus([refs[i] for i in done],
+                            [hyps_l[i] for i in done])["wer"]
+    base_sub = score_corpus([refs[i] for i in done],
+                            [base_hyps[i] for i in done])["wer"]
+    print(f"[7] LHUC iv={use_iv} l2={l2} steps={num_steps} ({n_spk} "
+          f"speakers, {len(done)} utts): WER {base_sub:.2f} -> "
+          f"{wer_lhuc:.2f} ({time.time() - t0:.0f}s)", flush=True)
+    return {"speakers": n_spk, "utts": len(done),
+            "wer_before": round(base_sub, 2),
+            "wer_after": round(wer_lhuc, 2)}
+
+
 def run_search(shared=None):
     """Stage 9: the search table at flagship scale."""
     import jax
@@ -574,7 +588,7 @@ def run_search(shared=None):
     base_opt = dict(kind="adam", lr_initial=1e-3, lr_final=1e-4)
     darts = DartsModelConfig(base=mc, search_offsets=True, max_stride=3)
     n_pre = 80 if SMOKE else 700
-    n_cv = 60 if SMOKE else 600
+    n_cv = 60 if SMOKE else 1000  # round 5: longer cv-update -> tighter alpha
 
     pre_tc = TrainerConfig(
         train_theta=True, train_alpha=False, search_mode=SearchMode.UNIFORM,
@@ -585,38 +599,63 @@ def run_search(shared=None):
                                log_every=100)
     print(f"[9] pretrain done ({time.time() - t0:.0f}s)", flush=True)
 
-    cv_tc = TrainerConfig(
-        train_theta=False, train_alpha=True, bn_frozen=True,
-        search_mode=SearchMode.GUMBEL,
-        optimizer=OptimizerConfig(num_steps=n_cv, alpha_lr_scale=30.0,
-                                  **base_opt))
-    sup_state, _ = train_model(bundle, darts, cv_tc, n_cv, batch_size=48,
-                               chunk_width=50, seed=1, supernet=True,
-                               init_state=sup_state, dev=True, log_every=100)
-    a_lin = np.asarray(sup_state.alphas["offsets_linear"])
-    a_aff = np.asarray(sup_state.alphas["offsets_affine"])
-
     def mean_entropy(a):
         p = np.exp(a) / np.exp(a).sum(-1, keepdims=True)
         return float(np.mean(-(p * np.log(p + 1e-20)).sum(-1)))
 
+    # round 5 (robustness): TWO independent cv-updates (different gumbel /
+    # egs-order seeds from the SAME pretrained supernet — the reference's
+    # repeatability question for `generate_top_list.py` top-K extraction)
+    cv = {}
+    for cv_seed in (1, 11):
+        cv_tc = TrainerConfig(
+            train_theta=False, train_alpha=True, bn_frozen=True,
+            search_mode=SearchMode.GUMBEL,
+            optimizer=OptimizerConfig(num_steps=n_cv, alpha_lr_scale=30.0,
+                                      **base_opt))
+        st, _ = train_model(bundle, darts, cv_tc, n_cv, batch_size=48,
+                            chunk_width=50, seed=cv_seed, supernet=True,
+                            init_state=sup_state, dev=True, log_every=200)
+        a_lin = np.asarray(st.alphas["offsets_linear"])
+        a_aff = np.asarray(st.alphas["offsets_affine"])
+        cv[cv_seed] = (a_lin, a_aff)
+    a_lin, a_aff = cv[1]
     ent = (mean_entropy(a_lin) + mean_entropy(a_aff)) / 2
     uniform_ent = float(np.log(a_lin.shape[-1]))
     print(f"[9] alpha entropy {ent:.3f} vs uniform {uniform_ent:.3f}",
           flush=True)
 
-    archs = extract_offsets(a_lin, a_aff, top_k=1)
+    archs = extract_offsets(a_lin, a_aff, top_k=3)
     top1_pairs = archs[0][0]
-    rng = np.random.RandomState(123)
-    rand_pairs = tuple(
-        (int(rng.randint(0, darts.max_stride + 1)),
-         int(rng.randint(0, darts.max_stride + 1)))
-        for _ in range(len(top1_pairs)))
+    top2_pairs = archs[1][0] if len(archs) > 1 else top1_pairs
+    a_lin2, a_aff2 = cv[11]
+    ent2 = (mean_entropy(a_lin2) + mean_entropy(a_aff2)) / 2
+    seed2_top1 = extract_offsets(a_lin2, a_aff2, top_k=1)[0][0]
+    agree = float(np.mean([a == b for a, b in
+                           zip(np.ravel(top1_pairs), np.ravel(seed2_top1))]))
+    print(f"[9] cv seed2: entropy {ent2:.3f}, top1 agreement with seed1 "
+          f"{agree:.2f}", flush=True)
+
+    def rand_arch(seed):
+        rng = np.random.RandomState(seed)
+        return tuple(
+            (int(rng.randint(0, darts.max_stride + 1)),
+             int(rng.randint(0, darts.max_stride + 1)))
+            for _ in range(len(top1_pairs)))
+
     contenders = {
         "searched_top1": child_config_from_arch(mc, stride_pairs=top1_pairs),
-        "random_arch": child_config_from_arch(mc, stride_pairs=rand_pairs),
+        "searched_top2": child_config_from_arch(mc, stride_pairs=top2_pairs),
+        "searched_seed2_top1": child_config_from_arch(
+            mc, stride_pairs=seed2_top1),
+        "random_arch": child_config_from_arch(mc,
+                                              stride_pairs=rand_arch(123)),
+        "random_arch2": child_config_from_arch(mc,
+                                               stride_pairs=rand_arch(456)),
         "manual_baseline": mc,
     }
+    if seed2_top1 == top1_pairs:
+        contenders.pop("searched_seed2_top1")
     table = {}
     for name, ccfg in contenders.items():
         n_child = 100 if SMOKE else 1000
@@ -655,8 +694,11 @@ def run_search(shared=None):
     out = {
         "scale": "flagship (46 phones, 30k vocab, 7q supernet)",
         "alpha_entropy": round(ent, 3),
+        "alpha_entropy_seed2": round(ent2, 3),
         "alpha_entropy_uniform": round(uniform_ent, 3),
+        "cv_steps": n_cv,
         "top1_logprob": float(archs[0][1]),
+        "seed_top1_agreement": round(agree, 3),
         "table": table,
     }
     os.makedirs("docs", exist_ok=True)

@@ -49,8 +49,13 @@ def main():
     mc = flag.model_config(tree, cfg)
     wtt = lambda w: f"w{w}"
     refs = [list(u.words) for u in test]
+    # round 5: the interpolation weight is a TUNED hyperparameter — pick it
+    # on a dev half and report the held-out eval half (Kaldi tunes
+    # lmrescore_pruned --weight on dev; the round-4 field was an oracle
+    # over the sweep, flagged by the advisor)
+    n_dev = len(test) // 2
     nb_cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".cache", "rnnlm_fight_nbests.pkl")
+        os.path.abspath(__file__))), ".cache", "rnnlm_fight_nbests_v2.pkl")
 
     # AM identical to the flagship base run (same seed/budget)
     cached_nb = None
@@ -77,7 +82,7 @@ def main():
         wer_tg = rep["wer"]
 
         # n-best with tg scores -> replace tg by the FULL 4-gram
-        nbests_tg = [lattice_nbest(lat, n=20) for lat in rep["lattices"]]
+        nbests_tg = [lattice_nbest(lat, n=30) for lat in rep["lattices"]]
         nbests_fg = []
         for hyps in nbests_tg:
             out = []
@@ -87,44 +92,105 @@ def main():
                 out.append((list(words), total - old + new))
             out.sort(key=lambda h: -h[1])
             nbests_fg.append(out)
+        lattices = rep["lattices"]
         with open(nb_cache, "wb") as f:
-            pickle.dump({"nbests_fg": nbests_fg, "wer_tg": wer_tg}, f)
+            pickle.dump({"nbests_fg": nbests_fg, "wer_tg": wer_tg,
+                         "lattices": lattices}, f)
     else:
         nbests_fg = cached_nb["nbests_fg"]
         wer_tg = cached_nb["wer_tg"]
+        lattices = cached_nb.get("lattices")
         rep = {"wer": wer_tg}
         print("[decode] n-best restored from cache", flush=True)
     hyps_fg = [(h[0][0] if h else []) for h in nbests_fg]
     wer_fg = score_corpus(refs, hyps_fg)["wer"]
-    print(f"[fg] 4-gram n-best rescore WER={wer_fg:.2f}", flush=True)
+    wer_fg_eval = score_corpus(refs[n_dev:], hyps_fg[n_dev:])["wer"]
+    oracle = score_corpus(
+        refs, [min(h, key=lambda x: score_corpus([r], [x[0]])["wer"])[0]
+               if h else [] for h, r in zip(nbests_fg, refs)])["wer"]
+    print(f"[fg] 4-gram n-best rescore WER={wer_fg:.2f} "
+          f"(eval half {wer_fg_eval:.2f}, oracle {oracle:.2f})", flush=True)
 
-    # RNNLM: reference shape, 4x the stage-6 budget
+    # RNNLM: reference shape; round 5 adds LR decay + a longer budget
+    # (the reference trains 40 epochs, rnnlm script :27-36)
     t0 = time.time()
+    n_steps = int(os.environ.get("RNNLM_STEPS", 48000))
     rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size, embed_dim=1024,
                          hidden_dim=2048, proj_dim=512, tdnn_splice=True)
     lm_ids = text + word_seqs[flag.N_TEST:]
-    rnn_params, ppl = train_rnnlm(lm_ids, rl_cfg, num_steps=int(os.environ.get('RNNLM_STEPS', 16000)),
-                                  batch_size=64, seed=0)
-    print(f"[rnnlm] trained 16k steps, ppl~{ppl:.1f} "
+    rnn_params, ppl = train_rnnlm(lm_ids, rl_cfg, num_steps=n_steps,
+                                  batch_size=64, lr=2e-3, lr_final=1e-4,
+                                  seed=0)
+    print(f"[rnnlm] trained {n_steps} steps, ppl~{ppl:.1f} "
           f"({time.time() - t0:.0f}s)", flush=True)
     scorer = RnnLMScorer(rl_cfg, rnn_params)
 
+    # ppl diagnostic on TRUE held-out text (the test utterances' word
+    # sequences — in neither LM's training data): does the RNNLM actually
+    # model this text better than the 4-gram?
+    held = [list(u.words) for u in test]
+    lp_rnn = sum(scorer.score(ws) for ws in held)
+    lp_fg = sum(sum(_old_lm_token_logprobs(ws, lm4, wtt)) for ws in held)
+    n_tok = sum(len(ws) + 1 for ws in held)
+    ppl_rnn_held = float(10 ** (-lp_rnn / n_tok))
+    ppl_fg_held = float(10 ** (-lp_fg / n_tok))
+    print(f"[ppl] held-out: rnnlm {ppl_rnn_held:.1f} vs 4-gram "
+          f"{ppl_fg_held:.1f}", flush=True)
+
     out = {"wer_first_pass_tg": round(rep["wer"], 2),
            "wer_4gram_nbest": round(wer_fg, 2),
+           "wer_4gram_nbest_eval_half": round(wer_fg_eval, 2),
+           "oracle_nbest_wer": round(oracle, 2),
            "rnnlm": {"embed": 1024, "cell": 2048, "rpd": 512,
-                     "steps": int(os.environ.get("RNNLM_STEPS", 16000)), "ppl_final_batch": round(ppl, 1)},
-           "sweep": {}}
-    best = None
-    for w in (0.1, 0.2, 0.3, 0.5):
+                     "steps": n_steps, "lr_decay": "2e-3->1e-4",
+                     "ppl_final_batch": round(ppl, 1),
+                     "ppl_heldout": round(ppl_rnn_held, 1),
+                     "ppl_heldout_4gram": round(ppl_fg_held, 1)},
+           "sweep_dev_half": {}, "sweep_eval_half": {}}
+    best_w, best_dev = None, None
+    for w in (0.2, 0.35, 0.5, 0.65, 0.8):
         bests = rescore_nbest_rnnlm_batched(nbests_fg, lm4, scorer,
                                             lm_scale=1.0, interp_weight=w,
                                             word_to_token=wtt)
-        wer = score_corpus(refs, [b[0] for b in bests])["wer"]
-        out["sweep"][str(w)] = round(wer, 2)
-        print(f"[rnnlm] interp={w}: WER={wer:.2f}", flush=True)
-        if best is None or wer < best:
-            best = wer
-    out["wer_rnnlm_over_fg_best"] = round(best, 2)
+        hyp = [b[0] for b in bests]
+        wer_dev = score_corpus(refs[:n_dev], hyp[:n_dev])["wer"]
+        wer_eval = score_corpus(refs[n_dev:], hyp[n_dev:])["wer"]
+        out["sweep_dev_half"][str(w)] = round(wer_dev, 2)
+        out["sweep_eval_half"][str(w)] = round(wer_eval, 2)
+        print(f"[rnnlm] interp={w}: dev={wer_dev:.2f} eval={wer_eval:.2f}",
+              flush=True)
+        if best_dev is None or wer_dev < best_dev:
+            best_dev, best_w = wer_dev, w
+    out["interp_weight_dev_choice"] = best_w
+    out["wer_rnnlm_eval_at_dev_weight"] = out["sweep_eval_half"][str(best_w)]
+    out["note"] = ("headline comparison: wer_rnnlm_eval_at_dev_weight vs "
+                   "wer_4gram_nbest_eval_half (same eval half, weight "
+                   "chosen on the dev half)")
+
+    # production path: frontier-batched PRUNED LATTICE rescoring
+    # (rescore_lattices_rnnlm — the lmrescore_pruned equivalent, VERDICT
+    # r4 #5: the per-arc incremental path took ~24 s/lattice through the
+    # tunnel; the batched path amortizes one device call per lattice level
+    # over the whole test set)
+    if lattices is not None:
+        from tdnnf_nas_tpu.decode.lattice import rescore_lattices_rnnlm
+
+        t0 = time.time()
+        lat_out = rescore_lattices_rnnlm(
+            lattices, lm3, scorer, lm_scale=1.0, n=1, word_to_token=wtt,
+            interp_weight=best_w)
+        dt = time.time() - t0
+        hyp = [(o[0][0] if o else []) for o in lat_out]
+        wer_lat = score_corpus(refs, hyp)["wer"]
+        out["lattice_rescore"] = {
+            "wer_rnnlm_lattice_over_tg": round(wer_lat, 2),
+            "interp_weight": best_w,
+            "seconds_total": round(dt, 1),
+            "seconds_per_lattice": round(dt / max(len(lattices), 1), 2),
+            "num_lattices": len(lattices),
+        }
+        print(f"[lattice] batched rescore: WER={wer_lat:.2f} "
+              f"({dt:.1f}s = {dt / len(lattices):.2f}s/lattice)", flush=True)
     os.makedirs("docs", exist_ok=True)
     with open("docs/rnnlm_rescore.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -537,6 +537,176 @@ def rescore_lattice_rnnlm(
     return out
 
 
+def rescore_lattices_rnnlm(
+    lats: List[Lattice],
+    old_lm: WordLM,
+    scorer,
+    lm_scale: float = 1.0,
+    hist_len: int = 3,
+    n: int = 1,
+    beam: float = 20.0,
+    max_states_per_node: int = 32,
+    word_to_token=str,
+    interp_weight: float = 1.0,
+) -> List[List[Tuple[List[int], float]]]:
+    """Frontier-batched pruned RNNLM lattice rescoring — the production
+    form of :func:`rescore_lattice_rnnlm` (identical semantics, tested).
+
+    The incremental path pays one device round trip + a full-vocabulary
+    softmax transfer PER ARC EXPANSION (~24 s/lattice through a remote
+    tunnel at 30k words).  Here nodes are grouped into longest-path levels
+    (every lattice arc strictly increases the level, so when a level is
+    expanded all its states are final), and ALL expansion states of that
+    level ACROSS ALL LATTICES advance in one jitted call that returns only
+    the consumed tokens' log-probs (`lm/rnnlm.RnnLMScorer.advance_batch`).
+    Device-call count = max lattice depth, amortized over the batch —
+    the Kaldi `rnnlm/lmrescore_pruned.sh` equivalent at production speed.
+    """
+    from tdnnf_nas_tpu.lm.ngram import BOS as _B, NGramLM as _N
+
+    def mix(lp_rnn: float, lp_old: float) -> float:
+        if interp_weight >= 1.0:
+            return lp_rnn
+        if interp_weight <= 0.0:
+            return lp_old
+        return float(np.logaddexp(math.log(max(interp_weight, 1e-30)) + lp_rnn,
+                                  math.log(max(1.0 - interp_weight, 1e-30))
+                                  + lp_old))
+
+    def old_prev(hist):
+        if isinstance(old_lm, _N):
+            return ((_B,) + tuple(word_to_token(h) for h in hist))[
+                -(max(old_lm.order - 1, 1)):]
+        return hist[-1] if hist else -1
+
+    # ---- per-lattice longest-path levels + adjacency ----
+    n_lat = len(lats)
+    levels = []
+    outs_all = []
+    max_level = 0
+    for lat in lats:
+        outs = lat.out_arcs()
+        outs_all.append(outs)
+        lev = np.zeros((lat.num_nodes,), np.int64)
+        for node in _node_order(lat):
+            node = int(node)
+            for e in outs[node]:
+                d = int(lat.arc_dst[e])
+                lev[d] = max(lev[d], lev[node] + 1)
+        levels.append(lev)
+        max_level = max(max_level, int(lev.max()) if len(lev) else 0)
+
+    # ---- device state pool (chunks of stacked (h, c, px)) ----
+    import jax.numpy as jnp
+
+    h0, c0, px0 = scorer.initial_state_batch()
+    pool = [(h0, c0, px0)]  # ref = (chunk, row); (0, 0) = <s> state
+
+    def gather(refs):
+        """Stack pool rows for ``refs`` (order preserved) on device."""
+        by_chunk: Dict[int, List[int]] = {}
+        for i, (ci, ri) in enumerate(refs):
+            by_chunk.setdefault(ci, []).append(i)
+        parts_h, parts_c, parts_px, order = [], [], [], []
+        for ci, idxs in by_chunk.items():
+            rows = np.asarray([refs[i][1] for i in idxs], np.int32)
+            hch, cch, pch = pool[ci]
+            parts_h.append(hch[rows])
+            parts_c.append(cch[rows])
+            parts_px.append(pch[rows])
+            order.extend(idxs)
+        inv = np.argsort(np.asarray(order, np.int64))
+        return (jnp.concatenate(parts_h)[inv], jnp.concatenate(parts_c)[inv],
+                jnp.concatenate(parts_px)[inv])
+
+    # states[li][node]: hist -> (score, words, ref)
+    states: List[List[Dict[tuple, tuple]]] = [
+        [dict() for _ in range(lat.num_nodes)] for lat in lats]
+    for li, lat in enumerate(lats):
+        states[li][lat.start][()] = (0.0, (), (0, 0))
+    finals: List[List[Tuple[float, tuple]]] = [[] for _ in lats]
+
+    for level in range(max_level + 1):
+        # collect this level's pruned entries and their expansions
+        exp_refs: List[tuple] = []
+        exp_words: List[int] = []
+        exp_meta: List[tuple] = []  # (li, dst, base, hist, sc, words, kind)
+        for li, lat in enumerate(lats):
+            lev = levels[li]
+            for node in np.nonzero(lev == level)[0]:
+                node = int(node)
+                if not states[li][node]:
+                    continue
+                items = sorted(states[li][node].items(),
+                               key=lambda kv: -kv[1][0])
+                best_here = items[0][1][0]
+                items = [(h, v) for h, v in items
+                         if v[0] >= best_here - beam][:max_states_per_node]
+                states[li][node] = dict(items)
+                for hist, (sc, words, ref) in items:
+                    if node == lat.end:
+                        finals[li].append((sc, words))
+                        continue
+                    for e in outs_all[li][node]:
+                        d = int(lat.arc_dst[e])
+                        wd = int(lat.arc_word[e])
+                        base = float(lat.arc_am[e]) + float(lat.arc_gs[e])
+                        if wd >= 0:
+                            exp_refs.append(ref)
+                            exp_words.append(wd)
+                            exp_meta.append((li, d, base, hist, sc, words,
+                                             "w"))
+                        elif d == lat.end:
+                            exp_refs.append(ref)
+                            exp_words.append(-1)
+                            exp_meta.append((li, d, base, hist, sc, words,
+                                             "f"))
+                        else:  # plain epsilon: pass through
+                            cur = states[li][d].get(hist)
+                            nsc = sc + base
+                            if cur is None or nsc > cur[0]:
+                                states[li][d][hist] = (nsc, words, ref)
+        if not exp_refs:
+            continue
+        h, c, px = gather(exp_refs)
+        h2, c2, px2, lp_w, lp_eos = scorer.advance_batch(
+            h, c, px, np.asarray(exp_words, np.int64))
+        chunk_id = len(pool)
+        pool.append((h2, c2, px2))
+        for i, (li, d, base, hist, sc, words, kind) in enumerate(exp_meta):
+            if kind == "f":
+                lp_old = _old_lm_final(old_lm, old_prev(hist), word_to_token)
+                nsc = (sc + base - lp_old
+                       + lm_scale * mix(float(lp_eos[i]), lp_old))
+                cur = states[li][d].get(hist)
+                if cur is None or nsc > cur[0]:
+                    states[li][d][hist] = (nsc, words, exp_refs[i])
+                continue
+            wd = exp_words[i]
+            lp_old = _old_lm_logprob(old_lm, old_prev(hist), wd,
+                                     word_to_token)
+            nsc = sc + base + lm_scale * mix(float(lp_w[i]), lp_old) - lp_old
+            nhist = (hist + (wd,))[-hist_len:]
+            cur = states[li][d].get(nhist)
+            if cur is None or nsc > cur[0]:
+                states[li][d][nhist] = (nsc, words + (wd,), (chunk_id, i))
+
+    out_all = []
+    for li in range(n_lat):
+        finals[li].sort(key=lambda x: -x[0])
+        seen = set()
+        out = []
+        for sc, words in finals[li]:
+            if words in seen:
+                continue
+            seen.add(words)
+            out.append((list(words), sc))
+            if len(out) >= n:
+                break
+        out_all.append(out)
+    return out_all
+
+
 def determinize_lattice(lat: Lattice, max_states: int = 200000) -> Lattice:
     """Word-level lattice determinization (tropical semiring).
 

@@ -198,8 +198,9 @@ class CompiledDenFsa:
             pdf_bounds=jnp.asarray(bounds),
         )
 
-    def to_blocked(self, superblocks: int = 8, enter_pad: int = 4,
-                   budget_entries: int = 64_000_000):
+    def to_blocked(self, superblocks: Optional[int] = None,
+                   enter_pad: int = 4,
+                   budget_entries: int = 96_000_000):
         """Device BlockedDenGraph (superblocked transition form).
 
         Discovers the source-class partition generically by union-find over
@@ -284,7 +285,18 @@ class CompiledDenFsa:
         n_sub_pos = np.maximum((n_enter_pos + r_pad - 1) // r_pad, 1)
 
         # ---- merge raw classes into balanced superblocks ----
-        c_count = max(1, min(int(superblocks), raw_c))
+        # Merging k classes into one superblock multiplies its padded area
+        # by ~k (the block becomes [k*s, k*d]); it pays off only when raw
+        # blocks are too small for the MXU (the flagship left-context
+        # classes are 84x201 -> merge ~6x; the committed composition's
+        # classes are already ~400 sources wide -> no merge).  Auto rule:
+        # merge until ~512 source sub-slots per superblock.
+        if superblocks is None:
+            sbar = float(n_sub_pos.sum()) / max(raw_c, 1)
+            mf = int(np.clip(round(512.0 / max(sbar, 1.0)), 1, raw_c))
+            c_count = max(1, (raw_c + mf - 1) // mf)
+        else:
+            c_count = max(1, min(int(superblocks), raw_c))
         # per raw class: subposition load (sources assigned + dests assigned
         # track the same positions via different roles; balance on the sum)
         src_load = np.zeros((raw_c,), np.int64)

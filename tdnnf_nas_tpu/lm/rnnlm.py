@@ -149,13 +149,22 @@ def train_rnnlm(
     num_steps: int = 200,
     batch_size: int = 16,
     lr: float = 2e-3,
+    lr_final: float = None,
     seed: int = 0,
 ):
-    """Adam training; returns (params, final_perplexity)."""
+    """Adam training; returns (params, final_perplexity).
+
+    ``lr_final`` enables an exponential LR decay lr -> lr_final over
+    ``num_steps`` (the reference trains 40 epochs with rnnlm-train's
+    per-epoch halving schedule; constant-LR Adam plateaus well short of
+    that optimum).  None keeps the legacy constant LR.
+    """
     params = init_rnnlm(cfg, jax.random.PRNGKey(seed))
     m = jax.tree.map(jnp.zeros_like, params)
     v = jax.tree.map(jnp.zeros_like, params)
     rng = np.random.RandomState(seed)
+    decay = (np.log(lr_final / lr) / max(num_steps - 1, 1)
+             if lr_final else 0.0)
 
     @jax.jit
     def step(params, m, v, inp, tgt, t_step, dk):
@@ -170,10 +179,11 @@ def train_rnnlm(
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         t = t_step + 1.0
+        lr_t = lr * jnp.exp(decay * t_step)
         m = jax.tree.map(lambda a, b: 0.9 * a + 0.1 * b, m, g)
         v = jax.tree.map(lambda a, b: 0.999 * a + 0.001 * b * b, v, g)
         params = jax.tree.map(
-            lambda p, m_, v_: p - lr * (m_ / (1 - 0.9**t))
+            lambda p, m_, v_: p - lr_t * (m_ / (1 - 0.9**t))
             / (jnp.sqrt(v_ / (1 - 0.999**t)) + 1e-8),
             params, m, v,
         )
@@ -282,6 +292,60 @@ class RnnLMScorer:
     def final_logprob(self, state) -> float:
         """ln P(</s> | prefix)."""
         return float(state[-1][self.cfg.eos])
+
+    # -- frontier-batched API (decode/lattice.rescore_lattices_rnnlm) ----
+    # Device states are (h [N,R], c [N,H], px [N,E]) WITHOUT the cached
+    # host softmax: the per-arc incremental path ships the full [V]
+    # distribution to the host on every advance (~30k floats through the
+    # tunnel per expansion — the round-4 bottleneck, STATUS #8); here one
+    # jitted call advances a whole frontier and returns only the consumed
+    # tokens' log-probs (+ EOS) as N floats.
+
+    def _advance_batch_fn(self, params, h, c, px, words):
+        if self.cfg.tie_embeddings:
+            logits = h @ params["embed"].T
+        else:
+            logits = h @ params["out"]["w"] + params["out"]["b"]
+        lp_all = jax.nn.log_softmax(logits, axis=-1)
+        lp_w = jnp.take_along_axis(
+            lp_all, jnp.maximum(words, 0)[:, None], axis=-1)[:, 0]
+        lp_eos = lp_all[:, self.cfg.eos]
+        x = params["embed"][jnp.maximum(words, 0)]
+        x_in = x
+        if self.cfg.tdnn_splice:
+            x_in = jax.nn.relu(
+                jnp.concatenate([px, x], axis=-1) @ params["tdnn"]["w"]
+                + params["tdnn"]["b"])
+        h2, c2 = _lstm_cell(params, h, c, x_in)
+        return h2, c2, x, lp_w, lp_eos
+
+    def initial_state_batch(self):
+        """Device (h, c, px) for the <s> prefix, batch shape [1, ...]."""
+        h, c, px, _ = self.initial_state()
+        return (jnp.asarray(h)[None], jnp.asarray(c)[None],
+                jnp.asarray(px)[None])
+
+    def advance_batch(self, h, c, px, words: np.ndarray):
+        """Advance N states by N words in one device call.
+
+        Returns (h2, c2, px2) ON DEVICE (padded rows garbage-in/out) and
+        host arrays (lp_w [N], lp_eos [N]) — ln P(word_i | prefix_i) under
+        the PRE-advance distributions, and ln P(</s> | prefix_i).
+        Rows are padded to power-of-two buckets for stable jit shapes.
+        """
+        if not hasattr(self, "_adv_jit"):
+            self._adv_jit = jax.jit(self._advance_batch_fn)
+        n = len(words)
+        n_pad = max(8, 1 << (n - 1).bit_length())
+        pad = n_pad - n
+
+        def padrows(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        w = jnp.asarray(np.pad(np.asarray(words, np.int32), (0, pad)))
+        h2, c2, px2, lp_w, lp_eos = self._adv_jit(
+            self.params, padrows(h), padrows(c), padrows(px), w)
+        return (h2, c2, px2, np.asarray(lp_w[:n]), np.asarray(lp_eos[:n]))
 
 
 def reverse_sentences(sents: Sequence[Sequence[int]]):

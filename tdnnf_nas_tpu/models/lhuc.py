@@ -55,13 +55,20 @@ def apply_model_lhuc(
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("cfg", "objective_cfg", "lr"))
-def _lhuc_step(cfg, objective_cfg, lr, params, bn_state, den_arrays, lhuc,
-               batch):
+@partial(jax.jit, static_argnames=("cfg", "objective_cfg", "lr", "l2"))
+def _lhuc_step(cfg, objective_cfg, lr, l2, params, bn_state, den_arrays,
+               lhuc, batch):
     """One frozen-model SGD step on the LHUC logits.  Module-level jit so
     the compiled step is REUSED across speakers (a per-speaker closure
     would recompile for every speaker — minutes each through a remote
-    compile service)."""
+    compile service).
+
+    ``l2`` is a decoupled decay of the logits toward 0 (= unity scales):
+    enrollment regularization for the speaker-independent setting, where
+    unregularized LHUC overfits the few enrollment utterances (round-4
+    lhuc_noiv ablation went 8.52 -> 8.61; the reference's BLHUC line exists
+    precisely because point-estimate LHUC overfits small enrollment sets —
+    a prior toward identity is the non-Bayesian version of that fix)."""
     from tdnnf_nas_tpu.train.objective import chain_objective
 
     def loss_fn(lh):
@@ -74,7 +81,7 @@ def _lhuc_step(cfg, objective_cfg, lr, params, bn_state, den_arrays, lhuc,
         return loss, metrics
 
     (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(lhuc)
-    new = jax.tree.map(lambda p, gr: p - lr * gr, lhuc, g)
+    new = jax.tree.map(lambda p, gr: (1.0 - lr * l2) * p - lr * gr, lhuc, g)
     return new, metrics
 
 
@@ -87,11 +94,13 @@ def adapt_lhuc(
     batches,
     num_steps: int = 20,
     lr: float = 0.1,
+    l2: float = 0.0,
 ):
     """Train LHUC logits on adaptation batches (model frozen), plain SGD.
 
     batches: iterable of {"feats", "sup", ["ivectors"]} from the speaker's
-    adaptation data.  Returns the adapted logits.
+    adaptation data.  ``l2`` decays the logits toward identity scales (see
+    _lhuc_step).  Returns the adapted logits.
     """
     lhuc = init_lhuc(cfg)
     it = iter(batches)
@@ -102,6 +111,6 @@ def adapt_lhuc(
         except StopIteration:
             it = iter(batches)
             batch = next(it)
-        lhuc, metrics = _lhuc_step(cfg, objective_cfg, lr, params, bn_state,
-                                   den_arrays, lhuc, batch)
+        lhuc, metrics = _lhuc_step(cfg, objective_cfg, lr, float(l2), params,
+                                   bn_state, den_arrays, lhuc, batch)
     return lhuc, metrics

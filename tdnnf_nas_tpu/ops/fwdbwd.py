@@ -714,12 +714,13 @@ def _perm_gather_bwd(inv, g):
 _perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
 
 
-@partial(jax.jit, static_argnames=("leaky_coef_static", "enter_pad"))
+@partial(jax.jit, static_argnames=("leaky_coef_static", "enter_pad",
+                                   "obs_bf16"))
 def _forward_score_blocked_impl(obs_logprob, w_blocks, perm, perm_inv,
                                 init_pos, pdf_virtual, init_virtual,
                                 final_virtual, pdf_perm, pdf_bounds,
                                 bcast_sel, bcast_vec, leaky_coef_static,
-                                enter_pad):
+                                enter_pad, obs_bf16=False):
     b, t, _ = obs_logprob.shape
     c, nsrc, ndp = w_blocks.shape
     r = enter_pad
@@ -731,7 +732,11 @@ def _forward_score_blocked_impl(obs_logprob, w_blocks, perm, perm_inv,
     # plain take: at the blocked kernel's virtual width (~1.8x S) the
     # autodiff scatter backward measures FASTER than the sorted segment-sum
     # backward (whose cumsum spans the whole padded axis) — 12 vs 24 ms at
-    # the flagship shape
+    # the flagship shape.  obs_bf16 halves the expanded-observation traffic
+    # (gather, scan reads, backward scatter); the recursion itself stays
+    # f32 (upcast in-register at the multiply).
+    if obs_bf16:
+        obs_exp = obs_exp.astype(jnp.bfloat16)
     obs_virtual = jnp.take(obs_exp, pdf_virtual, axis=-1)  # [B,T,V]
 
     a0 = init_virtual[None, :] * obs_virtual[:, 0]
@@ -770,13 +775,19 @@ def forward_score_blocked(
     obs_logprob: jax.Array,
     g: "BlockedDenGraph",
     leaky_coef: float = 0.0,
+    obs_bf16: bool = False,
 ) -> jax.Array:
     """forward_score over a BlockedDenGraph — identical math to the
     factored/dense kernels (tested bit-close), with the transition as
-    VMEM-scale class blocks instead of the [Npos, S] matmul."""
+    VMEM-scale class blocks instead of the [Npos, S] matmul.
+
+    ``obs_bf16`` keeps the EXPANDED (state-indexed) observations in bf16 —
+    the transition recursion stays f32; only the per-state emission factor
+    is rounded.  Halves the dominant obs gather/scatter traffic; measured
+    objf delta at the flagship shape ~1e-4/frame (see bench notes)."""
     return _forward_score_blocked_impl(
         obs_logprob, g.w_blocks, g.perm, g.perm_inv, g.init_pos,
         g.pdf_virtual, g.init_virtual, g.final_virtual, g.pdf_perm,
         g.pdf_bounds, g.bcast_sel, g.bcast_vec, float(leaky_coef),
-        int(g.enter_pad),
+        int(g.enter_pad), bool(obs_bf16),
     )

@@ -46,6 +46,10 @@ class ChainObjectiveConfig(Config):
     # use the fused Pallas denominator kernel (ops/pallas_fwdbwd.py);
     # TPU-only — leave False for CPU/interpret runs
     pallas_den: bool = False
+    # blocked den: keep the expanded per-state observations in bf16 (the
+    # recursion stays f32) — halves the dominant obs traffic; objf delta
+    # ~1e-4/frame at the flagship shape
+    den_obs_bf16: bool = False
 
 
 def chain_objective(
@@ -67,6 +71,7 @@ def chain_objective(
         # class-blocked den (production composed graphs; VMEM-scale blocks)
         logz_den = forward_score_blocked(
             chain_out, den, leaky_coef=cfg.leaky_hmm_coef,
+            obs_bf16=cfg.den_obs_bf16,
         )
     elif isinstance(den, FactoredDenGraph):
         # position-factored den (composed 4-gram/triphone graphs)

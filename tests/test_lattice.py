@@ -249,3 +249,43 @@ def test_lattice_rnnlm_rescoring_nonstr_word_symbols():
     np.testing.assert_allclose(sc, expected, atol=1e-3)
     # regression guard: a str() lookup would hit the -99 unknown floor
     assert abs(sc - expected) < 50.0
+
+
+def test_batched_lattice_rnnlm_matches_incremental(world):
+    """rescore_lattices_rnnlm (frontier-batched, one device call per
+    longest-path level across ALL lattices) must reproduce
+    rescore_lattice_rnnlm exactly: same word sequences and scores, with a
+    real RnnLMScorer, an n-gram old LM, and interpolation."""
+    import jax
+
+    from tdnnf_nas_tpu.decode.lattice import rescore_lattices_rnnlm
+    from tdnnf_nas_tpu.lm.rnnlm import RnnLMConfig, RnnLMScorer, init_rnnlm
+
+    cfg, utts, dg, obs, tree = world
+    wtt = lambda w: f"w{w}"
+    texts = [[wtt(w) for w in u.words] for u in utts]
+    old = estimate_ngram_lm(texts, order=2)
+    rcfg = RnnLMConfig(vocab_size=cfg.vocab_size, embed_dim=12,
+                       hidden_dim=24, proj_dim=16, tdnn_splice=True,
+                       dropout=0.0)
+    scorer = RnnLMScorer(rcfg, init_rnnlm(rcfg, jax.random.PRNGKey(0)))
+
+    lats = []
+    for u in utts[:3]:
+        t = len(u.pdf_align)
+        o = np.full((t, tree.num_pdfs), -4.0, np.float32)
+        o[np.arange(t), u.pdf_align] = 0.0
+        lats.append(generate_lattice(o, dg, beam=1e9, lattice_beam=12.0))
+
+    for w in (1.0, 0.4):
+        batched = rescore_lattices_rnnlm(
+            lats, old, scorer, lm_scale=1.0, n=3, word_to_token=wtt,
+            interp_weight=w)
+        for lat, got in zip(lats, batched):
+            ref = rescore_lattice_rnnlm(
+                lat, old, scorer, lm_scale=1.0, n=3, word_to_token=wtt,
+                interp_weight=w)
+            assert [g[0] for g in got] == [r[0] for r in ref]
+            np.testing.assert_allclose([g[1] for g in got],
+                                       [r[1] for r in ref], rtol=1e-4,
+                                       atol=1e-4)

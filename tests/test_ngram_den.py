@@ -328,3 +328,27 @@ def test_triphone_tree_and_composed_den():
                        jnp.asarray(sup.final[None]),
                        mask=jnp.asarray(sup.mask[None]))
     assert float(zn[0]) <= float(zd[0]) + 1e-3
+
+
+def test_blocked_kernel_obs_bf16_close():
+    """obs_bf16 keeps the expanded observations in bf16 (recursion f32):
+    logZ must stay within bf16 rounding of the f32 path (~4e-3 relative
+    per-frame mass error, far below training noise) and gradients close."""
+    from tdnnf_nas_tpu.ops.fwdbwd import forward_score_blocked
+
+    p = 5
+    seqs = _seqs(p, seed=2)
+    lm = estimate_ngram_phone_lm(seqs, p, order=3, num_extra_lm_states=20)
+    comp = compile_denominator_fsa(lm, ChainTopology(p), BiphoneTree(p))
+    blk = comp.to_blocked()
+    rng = np.random.RandomState(1)
+    obs = rng.randn(3, 12, BiphoneTree(p).num_pdfs).astype(np.float32)
+    z32 = forward_score_blocked(jnp.asarray(obs), blk, leaky_coef=0.1)
+    z16 = forward_score_blocked(jnp.asarray(obs), blk, leaky_coef=0.1,
+                                obs_bf16=True)
+    np.testing.assert_allclose(np.asarray(z16), np.asarray(z32), atol=0.15)
+    g32 = jax.grad(lambda o: jnp.sum(forward_score_blocked(o, blk, 0.1)))(
+        jnp.asarray(obs))
+    g16 = jax.grad(lambda o: jnp.sum(forward_score_blocked(
+        o, blk, 0.1, obs_bf16=True)))(jnp.asarray(obs))
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32), atol=0.02)
