@@ -361,13 +361,16 @@ class CompiledDenFsa:
             sub0_dst[d] = sb * ndpos + fill[sb]
             fill[sb] += n_sub_pos[d]
 
-        # enter slot of state = plane position inside its subposition run
-        # plane layout per superblock: [r_pad * ndpos enters | nsrc loops]
+        # enter slot of state = plane position inside its subposition run.
+        # plane layout per superblock: [r_pad * ndpos enters | nsrc loops],
+        # R-MAJOR (slot j*ndpos + sub): the per-subposition sums are then R
+        # contiguous slices added together — no strided reshape, which the
+        # fused Pallas scan kernel needs (ops/pallas_fwdbwd._blk_fwd_kernel)
         def enter_plane_slot(d, k):
             """k-th enter state of dest position d -> virtual plane index."""
             sub = sub0_dst[d] + k // r_pad
             sb, sub_in = divmod(sub, ndpos)
-            return sb * ndp + sub_in * r_pad + (k % r_pad)
+            return sb * ndp + (k % r_pad) * ndpos + sub_in
 
         def loop_plane_slot(p):
             slot = sub0_src[p]  # loop column on the FIRST source sub-slot

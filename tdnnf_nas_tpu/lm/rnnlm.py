@@ -151,6 +151,8 @@ def train_rnnlm(
     lr: float = 2e-3,
     lr_final: float = None,
     seed: int = 0,
+    heldout: Sequence[Sequence[int]] = None,
+    eval_every: int = 2000,
 ):
     """Adam training; returns (params, final_perplexity).
 
@@ -158,6 +160,13 @@ def train_rnnlm(
     ``num_steps`` (the reference trains 40 epochs with rnnlm-train's
     per-epoch halving schedule; constant-LR Adam plateaus well short of
     that optimum).  None keeps the legacy constant LR.
+
+    ``heldout`` sentences enable early stopping: every ``eval_every``
+    steps the held-out loss is evaluated and the best parameters kept
+    (kaldi-rnnlm tracks dev objf per epoch the same way).  Without it a
+    large LM memorizes a small synthetic corpus — observed train ppl 3.7
+    with held-out ppl in the hundreds of thousands.  The returned
+    perplexity is then the best HELD-OUT perplexity.
     """
     params = init_rnnlm(cfg, jax.random.PRNGKey(seed))
     m = jax.tree.map(jnp.zeros_like, params)
@@ -189,22 +198,58 @@ def train_rnnlm(
         )
         return params, m, v, loss
 
+    @jax.jit
+    def eval_loss(params, inp, tgt):
+        logits = rnnlm_logits(cfg, params, inp)
+        mask = (tgt >= 0)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, jnp.maximum(tgt, 0)[..., None],
+                                   axis=-1)[..., 0]
+        return (jnp.sum(jnp.where(mask, nll, 0.0)),
+                jnp.sum(mask.astype(jnp.float32)))
+
     loss = None
     key = jax.random.PRNGKey(seed + 1)
     # bucket to a fixed max length for stable jit shapes
     max_len = max(len(s) for s in sentences)
-    for i in range(num_steps):
-        idx = rng.choice(len(sentences), batch_size)
-        batch = [list(sentences[j])[:max_len] for j in idx]
-        inp, tgt = _pad_batch(batch, cfg)
-        # pad to the global max length => single compile
+
+    def pad_to(inp, tgt):
         pad_t = max_len + 1
         if inp.shape[1] < pad_t:
             pad = pad_t - inp.shape[1]
             inp = jnp.pad(inp, ((0, 0), (0, pad)), constant_values=cfg.eos)
             tgt = jnp.pad(tgt, ((0, 0), (0, pad)), constant_values=-1)
+        return inp, tgt
+
+    held_batches = []
+    if heldout:
+        hs = [list(s)[:max_len] for s in heldout]
+        for j in range(0, min(len(hs), 512), batch_size):
+            hb = hs[j: j + batch_size]
+            if len(hb) == batch_size:
+                held_batches.append(pad_to(*_pad_batch(hb, cfg)))
+
+    def held_ppl(params):
+        tot, n = 0.0, 0.0
+        for inp, tgt in held_batches:
+            s, k = eval_loss(params, inp, tgt)
+            tot += float(s)
+            n += float(k)
+        return float(np.exp(tot / max(n, 1.0)))
+
+    best = None  # (ppl, params)
+    for i in range(num_steps):
+        idx = rng.choice(len(sentences), batch_size)
+        batch = [list(sentences[j])[:max_len] for j in idx]
+        inp, tgt = pad_to(*_pad_batch(batch, cfg))
         key, dk = jax.random.split(key)
         params, m, v, loss = step(params, m, v, inp, tgt, jnp.asarray(float(i)), dk)
+        if held_batches and ((i + 1) % eval_every == 0 or i == num_steps - 1):
+            p = held_ppl(params)
+            if best is None or p < best[0]:
+                best = (p, jax.tree.map(lambda a: a.copy(), params))
+    if best is not None:
+        return best[1], best[0]
     ppl = float(jnp.exp(loss)) if loss is not None else float("inf")
     return params, ppl
 

@@ -747,7 +747,9 @@ def _forward_score_blocked_impl(obs_logprob, w_blocks, perm, perm_inv,
 
     def step(alpha, obs_t):
         a3 = alpha.reshape(b, c, ndp)
-        beta_dst = a3[:, :, : r * ndpos].reshape(b, c * ndpos, r).sum(-1)
+        # r-major enter runs: sum R contiguous ndpos-wide slices
+        beta_dst = a3[:, :, : r * ndpos].reshape(b, c, r, ndpos).sum(2)
+        beta_dst = beta_dst.reshape(b, c * ndpos)
         a_loop = a3[:, :, r * ndpos:].reshape(b, c * nsrc)
         beta = _perm_gather(beta_dst, perm, perm_inv) + a_loop
         if leaky_coef_static > 0.0:
@@ -769,6 +771,43 @@ def _forward_score_blocked_impl(obs_logprob, w_blocks, perm, perm_inv,
         jnp.sum(alpha_last * final_virtual[None, :], axis=-1), _TINY))
     return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(
         mx[:, :, 0], axis=1)
+
+
+def forward_score_blocked_pallas(
+    obs_logprob: jax.Array,
+    g: "BlockedDenGraph",
+    leaky_coef: float = 0.0,
+    obs_bf16: bool = False,
+) -> jax.Array:
+    """Fused Pallas variant of :func:`forward_score_blocked`: the whole
+    T-frame scan runs as one TPU kernel with the superblocks AND the bf16
+    one-hot permutation VMEM-resident (ops/pallas_fwdbwd), plus a fused
+    adjoint kernel for the backward.  Falls back to the XLA path when the
+    graph carries a broadcast (wildcard) term."""
+    from tdnnf_nas_tpu.ops.pallas_fwdbwd import pallas_blocked_den_score
+
+    if g.bcast_sel is not None:
+        return forward_score_blocked(obs_logprob, g, leaky_coef, obs_bf16)
+    c, nsrc, ndp = g.shape
+    r = int(g.enter_pad)
+    cnd = c * ((ndp - nsrc) // r)
+    cs = c * nsrc
+    obs_logprob = obs_logprob.astype(jnp.float32)
+    mx = jax.lax.stop_gradient(jnp.max(obs_logprob, axis=-1, keepdims=True))
+    obs_exp = jnp.exp(jnp.maximum(obs_logprob - mx, _MIN_LOG_OBS))
+    if obs_bf16:
+        obs_exp = obs_exp.astype(jnp.bfloat16)
+    obs_virtual = jnp.take(obs_exp, g.pdf_virtual, axis=-1)  # [B,T,V]
+    # one-hot permutation (bf16, exact selection): row k selects the
+    # dest subposition k for every source slot with perm == k; pad slots
+    # (perm == cnd) match no row -> zero
+    p1 = (g.perm[None, :] == jnp.arange(cnd, dtype=g.perm.dtype)[:, None]
+          ).astype(jnp.bfloat16)  # [CND, CS]
+    p1t = p1.T
+    logz = pallas_blocked_den_score(
+        obs_virtual, g.w_blocks, p1, p1t, g.init_virtual, g.final_virtual,
+        g.init_pos, float(leaky_coef), r)
+    return logz + jnp.sum(mx[:, :, 0], axis=1)
 
 
 def forward_score_blocked(

@@ -70,3 +70,39 @@ def test_pallas_backward_matches_xla(leaky):
         )(obs))
     np.testing.assert_allclose(g1.sum(-1), np.tile(np.asarray(w)[:, None], (1, t)),
                                atol=1e-4)
+
+
+def test_pallas_blocked_den_matches_xla(monkeypatch):
+    """Fused superblocked Pallas scan (W + one-hot permutation
+    VMEM-resident, fused adjoint) vs the XLA blocked kernel — logZ and
+    gradients, interpret mode (CPU-safe)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tdnnf_nas_tpu.graphs import (BiphoneTree, ChainTopology,
+                                      compile_denominator_fsa,
+                                      estimate_ngram_phone_lm)
+    from tdnnf_nas_tpu.ops.fwdbwd import (forward_score_blocked,
+                                          forward_score_blocked_pallas)
+    from tests.test_ngram_den import _seqs
+
+    p = 5
+    seqs = _seqs(p, seed=2)
+    lm = estimate_ngram_phone_lm(seqs, p, order=3, num_extra_lm_states=20)
+    comp = compile_denominator_fsa(lm, ChainTopology(p), BiphoneTree(p))
+    blk = comp.to_blocked(superblocks=3, enter_pad=2)
+    rng = np.random.RandomState(1)
+    obs = rng.randn(3, 10, BiphoneTree(p).num_pdfs).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        for leaky in (0.0, 0.1):
+            zx = forward_score_blocked(jnp.asarray(obs), blk,
+                                       leaky_coef=leaky)
+            zp = forward_score_blocked_pallas(jnp.asarray(obs), blk,
+                                              leaky_coef=leaky)
+            np.testing.assert_allclose(np.asarray(zp), np.asarray(zx),
+                                       atol=2e-5)
+        gx = jax.grad(lambda o: jnp.sum(forward_score_blocked(
+            o, blk, 0.1)))(jnp.asarray(obs))
+        gp = jax.grad(lambda o: jnp.sum(forward_score_blocked_pallas(
+            o, blk, 0.1)))(jnp.asarray(obs))
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=2e-5)
