@@ -22,7 +22,7 @@ genuinely nonzero — pushed through every production stage end to end:
            under identical budgets; WER table      (~ img/search_result.png)
 
 Usage: python scripts/e2e_wer_pipeline.py [base|search|all]
-Writes docs/e2e_wer.json and docs/search_table.json.
+Writes docs/e2e_wer{,_hard,_sil}.json and docs/search_table_e2e{,_hard}.json.
 """
 
 import json
@@ -342,7 +342,14 @@ def run_search(shared=None):
         "table": table,
     }
     os.makedirs("docs", exist_ok=True)
-    with open("docs/search_table.json", "w") as f:
+    # NOTE: distinct filename per corpus variant — the committed search WIN
+    # (docs/search_table.json, planted-lookahead corpus) must never be
+    # clobbered by this pipeline's search-sanity stage (whose corpus has no
+    # temporal structure, so extraction there is a posterior-noise negative
+    # control, alpha entropy ~uniform)
+    st_path = ("docs/search_table_e2e_hard.json" if HARD
+               else "docs/search_table_e2e.json")
+    with open(st_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
 
