@@ -111,24 +111,60 @@ def main():
     print(f"[fg] 4-gram n-best rescore WER={wer_fg:.2f} "
           f"(eval half {wer_fg_eval:.2f}, oracle {oracle:.2f})", flush=True)
 
-    # RNNLM: reference shape; round 5 adds LR decay + a longer budget
-    # (the reference trains 40 epochs, rnnlm script :27-36) with
-    # early stopping on held-out text — without it the 33M-param LSTM
-    # memorizes the 124k synthetic sentences (observed train ppl 3.7 /
-    # held-out ppl ~4e5, and rescoring that HURT)
+    # Fisher-analogue LM text for BOTH contenders: the reference's
+    # rescoring LMs train on SWBD+Fisher (~25M tokens); the corpus's own
+    # 124k sentences (~1.3M tokens) data-starve a 33M-param neural LM
+    # against backoff counts (measured held-out ppl 5008 vs 1071 even
+    # with early stopping).  Sample extra topic text from the SAME
+    # generator (appended draws — the corpus and caches stay identical)
+    # and re-estimate the 4-gram on it too; the first-pass tg stays
+    # in-domain-small, as in the reference.
     import math as _math
 
+    from tdnnf_nas_tpu.lm.ngram import estimate_ngram_lm
+
+    n_extra = int(os.environ.get("RNNLM_EXTRA_TEXT", 700000))
+    t0 = time.time()
+    from tdnnf_nas_tpu.data.synthetic import make_word_corpus
+    extra = make_word_corpus(cfg, extra_text_sents=n_extra)[7]
+    print(f"[text] +{len(extra)} Fisher-analogue sentences "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    t0 = time.time()
+    sym_text = [[wtt(w) for w in ws] for ws in extra]
+    base_text = [[wtt(w) for w in ws] for ws in text] + \
+        [[wtt(w) for w in ws] for ws in word_seqs[flag.N_TEST:]]
+    lm4_big = estimate_ngram_lm(base_text + sym_text, order=4)
+    print(f"[fg+] 4-gram re-estimated on {len(base_text) + len(sym_text)} "
+          f"sents ({time.time() - t0:.0f}s)", flush=True)
+
+    # re-rescore the cached n-bests with the bigger 4-gram
+    nbests_fg2 = []
+    for hyps in nbests_fg:
+        out2 = []
+        for words, total in hyps:
+            old = sum(_old_lm_token_logprobs(list(words), lm4, wtt))
+            new = sum(_old_lm_token_logprobs(list(words), lm4_big, wtt))
+            out2.append((list(words), total - old + new))
+        out2.sort(key=lambda h: -h[1])
+        nbests_fg2.append(out2)
+    hyps2 = [(h[0][0] if h else []) for h in nbests_fg2]
+    wer_fg2 = score_corpus(refs, hyps2)["wer"]
+    wer_fg2_eval = score_corpus(refs[n_dev:], hyps2[n_dev:])["wer"]
+    print(f"[fg+] big 4-gram n-best WER={wer_fg2:.2f} "
+          f"(eval half {wer_fg2_eval:.2f})", flush=True)
+
+    # RNNLM: reference shape, LR decay + held-out early stopping
     t0 = time.time()
     n_steps = int(os.environ.get("RNNLM_STEPS", 48000))
     rl_cfg = RnnLMConfig(vocab_size=cfg.vocab_size, embed_dim=1024,
                          hidden_dim=2048, proj_dim=512, tdnn_splice=True)
-    lm_all = text + word_seqs[flag.N_TEST:]
+    lm_all = text + word_seqs[flag.N_TEST:] + extra
     lm_held = lm_all[::40][:512]  # held-out slice for early stopping
     held_set = set(map(tuple, map(tuple, (map(int, s) for s in lm_held))))
     lm_train = [s for s in lm_all if tuple(map(int, s)) not in held_set]
     rnn_params, ppl = train_rnnlm(lm_train, rl_cfg, num_steps=n_steps,
                                   batch_size=64, lr=2e-3, lr_final=1e-4,
-                                  seed=0, heldout=lm_held, eval_every=1500)
+                                  seed=0, heldout=lm_held, eval_every=3000)
     print(f"[rnnlm] trained {n_steps} steps, best held-out ppl {ppl:.1f} "
           f"({time.time() - t0:.0f}s)", flush=True)
     scorer = RnnLMScorer(rl_cfg, rnn_params)
@@ -138,17 +174,23 @@ def main():
     # (scorer.score is log10, _old_lm_token_logprobs is ln)
     held = [list(u.words) for u in test]
     lp_rnn = sum(scorer.score(ws) for ws in held) * _math.log(10.0)
-    lp_fg = sum(sum(_old_lm_token_logprobs(ws, lm4, wtt)) for ws in held)
+    lp_fg = sum(sum(_old_lm_token_logprobs(ws, lm4_big, wtt))
+                for ws in held)
     n_tok = sum(len(ws) + 1 for ws in held)
     ppl_rnn_held = float(_math.exp(-lp_rnn / n_tok))
     ppl_fg_held = float(_math.exp(-lp_fg / n_tok))
     print(f"[ppl] test-utterance held-out: rnnlm {ppl_rnn_held:.1f} vs "
-          f"4-gram {ppl_fg_held:.1f}", flush=True)
+          f"big 4-gram {ppl_fg_held:.1f}", flush=True)
+    nbests_fg = nbests_fg2
+    lm4 = lm4_big
 
     out = {"wer_first_pass_tg": round(rep["wer"], 2),
-           "wer_4gram_nbest": round(wer_fg, 2),
-           "wer_4gram_nbest_eval_half": round(wer_fg_eval, 2),
+           "wer_4gram_small_nbest": round(wer_fg, 2),
+           "wer_4gram_nbest": round(wer_fg2, 2),
+           "wer_4gram_nbest_eval_half": round(wer_fg2_eval, 2),
            "oracle_nbest_wer": round(oracle, 2),
+           "lm_text": {"base_sents": len(base_text),
+                       "fisher_analogue_extra": len(sym_text)},
            "rnnlm": {"embed": 1024, "cell": 2048, "rpd": 512,
                      "steps": n_steps, "lr_decay": "2e-3->1e-4",
                      "early_stopping": "held-out text slice, every 1500",

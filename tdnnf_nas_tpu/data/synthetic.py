@@ -173,7 +173,7 @@ class WordCorpusConfig(Config):
         return self.num_phones - 1 if self.silence_prob > 0 else -1
 
 
-def make_word_corpus(cfg: WordCorpusConfig):
+def make_word_corpus(cfg: WordCorpusConfig, extra_text_sents: int = 0):
     """Returns (utterances-with-words, lexicon_prons, word_seqs, phone_seqs,
     tree, topo)."""
     rng = np.random.RandomState(cfg.seed)
@@ -367,5 +367,14 @@ def make_word_corpus(cfg: WordCorpusConfig):
     if cfg.num_text_sents > 0:
         text = [sample_words(rng.randint(cfg.min_words, cfg.max_words + 1))
                 for _ in range(cfg.num_text_sents)]
+        if extra_text_sents > 0:
+            # Fisher-analogue extra LM text: same topic/successor source,
+            # sampled AFTER everything else so the corpus (and any cache
+            # keyed on it) is bit-identical with or without the extras
+            extra = [sample_words(rng.randint(cfg.min_words,
+                                              cfg.max_words + 1))
+                     for _ in range(extra_text_sents)]
+            return (utts, prons_out, word_seqs, phone_seqs, tree, topo,
+                    text, extra)
         return utts, prons_out, word_seqs, phone_seqs, tree, topo, text
     return utts, prons_out, word_seqs, phone_seqs, tree, topo
