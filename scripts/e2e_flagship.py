@@ -714,4 +714,10 @@ if __name__ == "__main__":
     if mode in ("base", "all"):
         shared = run_base()
     if mode in ("search", "all"):
+        if shared is None:
+            # standalone search: build_setup must never clobber the
+            # committed base artifact with its partial progress dict
+            # (observed: a search-only run gutted docs/e2e_flagship.json)
+            _save_orig = _save
+            globals()["_save"] = lambda *a, **k: None
         run_search(shared)
