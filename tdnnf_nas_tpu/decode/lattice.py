@@ -580,21 +580,39 @@ def rescore_lattices_rnnlm(
         return hist[-1] if hist else -1
 
     # ---- per-lattice longest-path levels + adjacency ----
+    # Native lattices can carry SPARSE node ids (num_nodes >> active
+    # nodes), so everything here touches only nodes that appear on arcs:
+    # out-adjacency as CSR bounds over the src-sorted arc arrays, and
+    # level buckets built once (iterating all node ids per level is
+    # O(num_nodes x levels) — measured 12 s/lattice of pure host time).
     n_lat = len(lats)
-    levels = []
-    outs_all = []
+    outs_all = []  # (sorted arc order, csr starts over active nodes)
     max_level = 0
-    for lat in lats:
-        outs = lat.out_arcs()
-        outs_all.append(outs)
-        lev = np.zeros((lat.num_nodes,), np.int64)
-        for node in _node_order(lat):
+    by_level: Dict[int, List[Tuple[int, int]]] = {}
+    for li, lat in enumerate(lats):
+        order = np.argsort(lat.arc_src, kind="stable")
+        asrc = lat.arc_src[order]
+        active = np.unique(np.concatenate(
+            [lat.arc_src, lat.arc_dst, [lat.start, lat.end]]))
+        lo = np.searchsorted(asrc, active)
+        hi = np.searchsorted(asrc, active, side="right")
+        arcs_of = {int(n): order[l:h] for n, l, h in zip(active, lo, hi)}
+        outs_all.append(arcs_of)
+        lev = {int(n): 0 for n in active}
+        topo = sorted(active, key=lambda n: (
+            -1 if n == lat.start else 2**30 if int(lat.node_time[n]) < 0
+            else int(lat.node_time[n])))
+        for node in topo:
             node = int(node)
-            for e in outs[node]:
+            base_l = lev[node]
+            for e in arcs_of[node]:
                 d = int(lat.arc_dst[e])
-                lev[d] = max(lev[d], lev[node] + 1)
-        levels.append(lev)
-        max_level = max(max_level, int(lev.max()) if len(lev) else 0)
+                if lev[d] < base_l + 1:
+                    lev[d] = base_l + 1
+        for node, l in lev.items():
+            by_level.setdefault(l, []).append((li, node))
+            if l > max_level:
+                max_level = l
 
     # ---- device state pool (chunks of stacked (h, c, px)) ----
     import jax.numpy as jnp
@@ -619,11 +637,11 @@ def rescore_lattices_rnnlm(
         return (jnp.concatenate(parts_h)[inv], jnp.concatenate(parts_c)[inv],
                 jnp.concatenate(parts_px)[inv])
 
-    # states[li][node]: hist -> (score, words, ref)
-    states: List[List[Dict[tuple, tuple]]] = [
-        [dict() for _ in range(lat.num_nodes)] for lat in lats]
+    # states[li][node]: hist -> (score, words, ref) — keyed sparsely (a
+    # dense per-node list is 46M empty dicts on 1M-node native lattices)
+    states: List[Dict[int, Dict[tuple, tuple]]] = [dict() for _ in lats]
     for li, lat in enumerate(lats):
-        states[li][lat.start][()] = (0.0, (), (0, 0))
+        states[li][lat.start] = {(): (0.0, (), (0, 0))}
     finals: List[List[Tuple[float, tuple]]] = [[] for _ in lats]
 
     for level in range(max_level + 1):
@@ -631,41 +649,38 @@ def rescore_lattices_rnnlm(
         exp_refs: List[tuple] = []
         exp_words: List[int] = []
         exp_meta: List[tuple] = []  # (li, dst, base, hist, sc, words, kind)
-        for li, lat in enumerate(lats):
-            lev = levels[li]
-            for node in np.nonzero(lev == level)[0]:
-                node = int(node)
-                if not states[li][node]:
+        for li, node in by_level.get(level, ()):
+            lat = lats[li]
+            if not states[li].get(node):
+                continue
+            items = sorted(states[li][node].items(),
+                           key=lambda kv: -kv[1][0])
+            best_here = items[0][1][0]
+            items = [(h, v) for h, v in items
+                     if v[0] >= best_here - beam][:max_states_per_node]
+            states[li][node] = dict(items)
+            for hist, (sc, words, ref) in items:
+                if node == lat.end:
+                    finals[li].append((sc, words))
                     continue
-                items = sorted(states[li][node].items(),
-                               key=lambda kv: -kv[1][0])
-                best_here = items[0][1][0]
-                items = [(h, v) for h, v in items
-                         if v[0] >= best_here - beam][:max_states_per_node]
-                states[li][node] = dict(items)
-                for hist, (sc, words, ref) in items:
-                    if node == lat.end:
-                        finals[li].append((sc, words))
-                        continue
-                    for e in outs_all[li][node]:
-                        d = int(lat.arc_dst[e])
-                        wd = int(lat.arc_word[e])
-                        base = float(lat.arc_am[e]) + float(lat.arc_gs[e])
-                        if wd >= 0:
-                            exp_refs.append(ref)
-                            exp_words.append(wd)
-                            exp_meta.append((li, d, base, hist, sc, words,
-                                             "w"))
-                        elif d == lat.end:
-                            exp_refs.append(ref)
-                            exp_words.append(-1)
-                            exp_meta.append((li, d, base, hist, sc, words,
-                                             "f"))
-                        else:  # plain epsilon: pass through
-                            cur = states[li][d].get(hist)
-                            nsc = sc + base
-                            if cur is None or nsc > cur[0]:
-                                states[li][d][hist] = (nsc, words, ref)
+                for e in outs_all[li].get(node, ()):
+                    d = int(lat.arc_dst[e])
+                    wd = int(lat.arc_word[e])
+                    base = float(lat.arc_am[e]) + float(lat.arc_gs[e])
+                    if wd >= 0:
+                        exp_refs.append(ref)
+                        exp_words.append(wd)
+                        exp_meta.append((li, d, base, hist, sc, words, "w"))
+                    elif d == lat.end:
+                        exp_refs.append(ref)
+                        exp_words.append(-1)
+                        exp_meta.append((li, d, base, hist, sc, words, "f"))
+                    else:  # plain epsilon: pass through
+                        dd = states[li].setdefault(d, {})
+                        cur = dd.get(hist)
+                        nsc = sc + base
+                        if cur is None or nsc > cur[0]:
+                            dd[hist] = (nsc, words, ref)
         if not exp_refs:
             continue
         h, c, px = gather(exp_refs)
@@ -678,18 +693,20 @@ def rescore_lattices_rnnlm(
                 lp_old = _old_lm_final(old_lm, old_prev(hist), word_to_token)
                 nsc = (sc + base - lp_old
                        + lm_scale * mix(float(lp_eos[i]), lp_old))
-                cur = states[li][d].get(hist)
+                dd = states[li].setdefault(d, {})
+                cur = dd.get(hist)
                 if cur is None or nsc > cur[0]:
-                    states[li][d][hist] = (nsc, words, exp_refs[i])
+                    dd[hist] = (nsc, words, exp_refs[i])
                 continue
             wd = exp_words[i]
             lp_old = _old_lm_logprob(old_lm, old_prev(hist), wd,
                                      word_to_token)
             nsc = sc + base + lm_scale * mix(float(lp_w[i]), lp_old) - lp_old
             nhist = (hist + (wd,))[-hist_len:]
-            cur = states[li][d].get(nhist)
+            dd = states[li].setdefault(d, {})
+            cur = dd.get(nhist)
             if cur is None or nsc > cur[0]:
-                states[li][d][nhist] = (nsc, words + (wd,), (chunk_id, i))
+                dd[nhist] = (nsc, words + (wd,), (chunk_id, i))
 
     out_all = []
     for li in range(n_lat):
