@@ -204,14 +204,17 @@ def main():
                 count += 1
 
         # warm the loader-shaped jit variant (bf16 payload: half the
-        # host->device bytes — the binding constraint through the tunnel;
-        # model-quality parity bounded by docs/bf16_parity.json)
-        for b in prefetch_to_device(stream(2), size=2, payload_bf16=True):
+        # host->device bytes; pack: ONE transfer per batch instead of one
+        # per leaf — the tunnel pays a round trip per array, which
+        # dominates (and wildly varies) the sustained number; model-quality
+        # parity bounded by docs/bf16_parity.json)
+        for b in prefetch_to_device(stream(2), size=2, payload_bf16=True,
+                                    pack=True):
             state, m_sus = step(state, b, key)
         jax.block_until_ready(m_sus)
         t0 = time.perf_counter()
         for b in prefetch_to_device(stream(n_steps), size=3,
-                                    payload_bf16=True):
+                                    payload_bf16=True, pack=True):
             state, m_sus = step(state, b, key)
         _fetch(m_sus)
         dt_sus = time.perf_counter() - t0

@@ -39,6 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 SMOKE = os.environ.get("FLAGSHIP_SMOKE", "") == "1"  # tiny bug-flush config
+# round 5: corpus variant whose successor tables are topic-dependent —
+# genuine long-range dependency for the RNNLM fair fight (the base
+# flagship corpus and its committed artifacts are untouched; this knob
+# only switches scripts that opt in, e.g. rnnlm_fair_fight.py)
+TOPIC_SUCC = os.environ.get("FLAGSHIP_TOPIC_SUCC", "") == "1"
 N_TEST = 20 if SMOKE else 200
 OUT = {}
 
@@ -75,7 +80,8 @@ def build_setup():
         # Topics give the LM text long-range structure an RNNLM can
         # exploit but an n-gram cannot.
         lookahead_lags=(3, 8, 14, 20, 26, 32, 38, 44),
-        lookahead_dim=12, lookahead_scale=2.5, num_topics=8, seed=0)
+        lookahead_dim=12, lookahead_scale=2.5, num_topics=8,
+        topic_successors=TOPIC_SUCC, seed=0)
     t0 = time.time()
     utts, prons, word_seqs, phone_seqs, _, topo, text = make_word_corpus(cfg)
     test, train = utts[:N_TEST], utts[N_TEST:]
@@ -103,7 +109,8 @@ def build_setup():
     os.makedirs(cache_dir, exist_ok=True)
     cache_path = os.path.join(
         cache_dir, "flagship_smoke_setup.pkl" if SMOKE
-        else "flagship_setup.pkl")
+        else ("flagship_setup_tsucc.pkl" if TOPIC_SUCC
+              else "flagship_setup.pkl"))
     # key = config repr + a content fingerprint of the generated corpus
     # (a code change in make_word_corpus can shift the RNG stream and
     # change the corpus under an identical config — observed when a new

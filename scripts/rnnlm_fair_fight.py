@@ -54,8 +54,11 @@ def main():
     # lmrescore_pruned --weight on dev; the round-4 field was an oracle
     # over the sweep, flagged by the advisor)
     n_dev = len(test) // 2
-    nb_cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".cache", "rnnlm_fight_nbests_v2.pkl")
+    nb_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache",
+        "rnnlm_fight_nbests_tsucc.pkl" if flag.TOPIC_SUCC
+        else "rnnlm_fight_nbests_v2.pkl")
 
     # AM identical to the flagship base run (same seed/budget)
     cached_nb = None
@@ -184,7 +187,9 @@ def main():
     nbests_fg = nbests_fg2
     lm4 = lm4_big
 
-    out = {"wer_first_pass_tg": round(rep["wer"], 2),
+    out = {"corpus_variant": ("topic_successors" if flag.TOPIC_SUCC
+                              else "base"),
+           "wer_first_pass_tg": round(rep["wer"], 2),
            "wer_4gram_small_nbest": round(wer_fg, 2),
            "wer_4gram_nbest": round(wer_fg2, 2),
            "wer_4gram_nbest_eval_half": round(wer_fg2_eval, 2),

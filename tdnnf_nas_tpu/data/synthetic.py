@@ -133,6 +133,18 @@ class WordCorpusConfig(Config):
     # reference's RNNLM rescoring beat its 4-gram (15.9 -> 14.4,
     # `local/rnnlm/run_tdnn_lstm_...e40.sh:15-21`)
     num_topics: int = 0
+    # with num_topics > 1, ALSO give each topic its own successor table
+    # (big-vocab source only).  The round-4/5 topic mixture only permuted
+    # the 30% unigram-fallback draws, so 70% of tokens kept topic-free
+    # bigram structure that backoff counts capture outright (measured:
+    # 4-gram held-out ppl 375 vs RNNLM 756 — a tie at rescoring).  With
+    # topic-dependent successors the next-word distribution given any
+    # finite n-gram context is a K-way mixture, while a recurrent model
+    # that has inferred the sentence topic from the earlier tokens
+    # narrows it to one table — the long-range-dependency property of
+    # real conversational text that the reference's RNNLM win rides
+    # (eval2000 15.9 -> 14.4, `local/rnnlm/run_tdnn_lstm_..._e40.sh:15-21`)
+    topic_successors: bool = False
     # fraction of words that get a SECOND pronunciation (lexiconp.txt
     # semantics; primary used with prob 0.7, the variant 0.3); the corpus
     # then returns a decode.wfst.Lexicon (with .alt) in the prons slot
@@ -222,10 +234,17 @@ def make_word_corpus(cfg: WordCorpusConfig, extra_text_sents: int = 0):
         topic_perm = (np.stack([rng.permutation(cfg.vocab_size)
                                 for _ in range(cfg.num_topics)])
                       if cfg.num_topics > 1 else None)
+        # flag-gated extra rng draws, AFTER the shared ones: the
+        # flag-off corpus stays bit-identical for every seed
+        topic_succ = (rng.randint(0, cfg.vocab_size,
+                                  size=(cfg.num_topics, cfg.vocab_size, 20))
+                      if cfg.topic_successors and cfg.num_topics > 1
+                      else None)
 
         def sample_words(n_words):
-            perm = (topic_perm[rng.randint(cfg.num_topics)]
-                    if topic_perm is not None else None)
+            k = rng.randint(cfg.num_topics) if topic_perm is not None else 0
+            perm = topic_perm[k] if topic_perm is not None else None
+            suc = topic_succ[k] if topic_succ is not None else succ
 
             def uni():
                 r = int(np.searchsorted(zipf_cdf, rng.rand()))
@@ -234,7 +253,7 @@ def make_word_corpus(cfg: WordCorpusConfig, extra_text_sents: int = 0):
             ws = [uni()]
             for _ in range(n_words - 1):
                 if rng.rand() < 0.7:
-                    ws.append(int(succ[ws[-1], rng.randint(20)]))
+                    ws.append(int(suc[ws[-1], rng.randint(20)]))
                 else:
                     ws.append(uni())
             return ws

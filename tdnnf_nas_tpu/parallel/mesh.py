@@ -80,8 +80,53 @@ def compress_batch_bf16(batch):
     return out
 
 
+def pack_batch_bytes(batch):
+    """Flatten a batch pytree into ONE contiguous uint8 buffer (host side).
+
+    A remote-device (tunnel) transfer pays a round trip PER ARRAY: a batch
+    of 7 leaves costs 7 RTTs even when the bytes are small — measured as
+    the dominant, high-variance term of the sustained training loop
+    (~0.5 s/step at ~70 ms RTT vs ~1.4 MB of payload).  One packed buffer
+    pays one RTT; the device-side unpack (:func:`make_batch_unpacker`) is
+    a jitted bitcast+reshape, i.e. free.
+
+    Returns (buf, meta) where meta is a static (treedef, per-leaf spec)
+    pair shared by every batch of the same shape.
+    """
+    leaves, treedef = jax.tree.flatten(batch)
+    arrs = [np.ascontiguousarray(np.asarray(v)) for v in leaves]
+    # keep the dtype OBJECT (ml_dtypes bfloat16's .str is an opaque 'V2')
+    spec = tuple((a.shape, a.dtype, a.nbytes) for a in arrs)
+    buf = np.concatenate([a.view(np.uint8).reshape(-1) for a in arrs])
+    return buf, (treedef, spec)
+
+
+def make_batch_unpacker(meta):
+    """Jitted inverse of :func:`pack_batch_bytes` (runs on device)."""
+    import jax.numpy as jnp
+
+    treedef, spec = meta
+
+    @jax.jit
+    def unpack(buf):
+        out, o = [], 0
+        for shape, dtype, nbytes in spec:
+            seg = buf[o:o + nbytes]
+            dt = np.dtype(dtype)
+            if dt.itemsize > 1:
+                seg = jax.lax.bitcast_convert_type(
+                    seg.reshape(-1, dt.itemsize), jnp.dtype(dt))
+            else:
+                seg = seg.astype(jnp.dtype(dt)) if dt != np.uint8 else seg
+            out.append(seg.reshape(shape))
+            o += nbytes
+        return jax.tree.unflatten(treedef, out)
+
+    return unpack
+
+
 def prefetch_to_device(it, size: int = 2, mesh: Mesh = None,
-                       payload_bf16: bool = False):
+                       payload_bf16: bool = False, pack: bool = False):
     """Wrap a host batch iterator with a background thread that stages the
     next ``size`` batches on device while the current step runs.
 
@@ -100,12 +145,20 @@ def prefetch_to_device(it, size: int = 2, mesh: Mesh = None,
     q: "_queue.Queue" = _queue.Queue(maxsize=size)
     err = []
     stop = threading.Event()
+    unpacker = []  # built on the first packed batch (static shapes)
 
     def put(x):
         if payload_bf16:
             x = compress_batch_bf16(x)
         if mesh is not None:
             return put_batch(x, mesh)
+        if pack:
+            buf, meta = pack_batch_bytes(x)
+            if not unpacker:
+                unpacker.append(make_batch_unpacker(meta))
+            # one transfer; the jitted device-side unpack runs in the
+            # consumer's dispatch stream (async, no host sync)
+            return unpacker[0](jnp.asarray(buf))
         return jax.tree.map(jnp.asarray, x)
 
     def _enqueue(item) -> bool:
