@@ -714,6 +714,146 @@ def _perm_gather_bwd(inv, g):
 _perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
 
 
+def _blk_step_fwd(alpha, obs_t, w_blocks, perm, perm_inv, init_pos,
+                  bcast_sel, bcast_vec, leaky, r):
+    """One blocked-den frame: alpha [B,V] -> (alpha' [B,V], cnorm [B])."""
+    b = alpha.shape[0]
+    c, nsrc, ndp = w_blocks.shape
+    ndpos = (ndp - nsrc) // r
+    v = c * ndp
+    a3 = alpha.reshape(b, c, ndp)
+    # r-major enter runs: sum R contiguous ndpos-wide slices
+    beta_dst = a3[:, :, : r * ndpos].reshape(b, c, r, ndpos).sum(2)
+    beta_dst = beta_dst.reshape(b, c * ndpos)
+    a_loop = a3[:, :, r * ndpos:].reshape(b, c * nsrc)
+    beta = _perm_gather(beta_dst, perm, perm_inv) + a_loop
+    if leaky > 0.0:
+        beta = beta + leaky * init_pos[None, :]
+    a = jnp.einsum(
+        "bcs,csd->bcd", beta.reshape(b, c, nsrc), w_blocks,
+        preferred_element_type=jnp.float32).reshape(b, v)
+    if bcast_sel is not None:
+        wm = jnp.matmul(beta, bcast_sel,
+                        preferred_element_type=jnp.float32)  # [B, R]
+        a = a + jnp.matmul(wm, bcast_vec,
+                           preferred_element_type=jnp.float32)
+    a = a * obs_t
+    cnorm = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
+    return a / cnorm[:, None], cnorm
+
+
+def _blocked_core_scan(obs_virtual, w_blocks, perm, perm_inv, init_pos,
+                       init_virtual, final_virtual, bcast_sel, bcast_vec,
+                       leaky, r):
+    """Forward recursion; returns (logz [B], alphas [T,B,V], cs [T,B])."""
+    a0 = init_virtual[None, :] * obs_virtual[:, 0]
+    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
+    alpha0 = a0 / c0[:, None]
+    obs_rest = jnp.moveaxis(obs_virtual[:, 1:], 1, 0)  # [T-1, B, V]
+
+    def step(alpha, obs_t):
+        a, cn = _blk_step_fwd(alpha, obs_t, w_blocks, perm, perm_inv,
+                              init_pos, bcast_sel, bcast_vec, leaky, r)
+        return a, (a, cn)
+
+    alpha_last, (alphas_rest, cs_rest) = jax.lax.scan(step, alpha0, obs_rest)
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+    cs = jnp.concatenate([c0[None], cs_rest], axis=0)
+    zfin = jnp.maximum(
+        jnp.sum(alpha_last * final_virtual[None, :], axis=-1), _TINY)
+    logz = jnp.log(c0) + jnp.sum(jnp.log(cs_rest), axis=0) + jnp.log(zfin)
+    return logz, alphas, cs
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _blocked_score_core(obs_virtual, w_blocks, perm, perm_inv, init_pos,
+                        init_virtual, final_virtual, bcast_sel, bcast_vec,
+                        leaky, enter_pad):
+    """logZ [B] of the blocked den from prob-space virtual obs [B,T,V].
+
+    Custom VJP implementing the exact adjoint recurrence (the XLA mirror
+    of ops/pallas_fwdbwd._blk_bwd_kernel):
+
+        bar_t   = g_t - (g_t . alpha_t) + gbar
+        dL/dobs = alpha_t * bar_t / obs_t
+        v_{t-1} = L^T((bar_t / c_t) * obs_t)
+
+    with L = blockmm . (perm + rsum + loop (+ bcast)).  Autodiff through
+    the fwd scan saves every intermediate ([B,V]-sized beta/dst/pre-norm
+    products per frame); the custom backward needs only the normalized
+    alphas + scales — several hundred MB/step less HBM traffic at the
+    flagship shape.
+    """
+    logz, _, _ = _blocked_core_scan(obs_virtual, w_blocks, perm, perm_inv,
+                                    init_pos, init_virtual, final_virtual,
+                                    bcast_sel, bcast_vec, leaky, enter_pad)
+    return logz
+
+
+def _blocked_core_vjp_fwd(obs_virtual, w_blocks, perm, perm_inv, init_pos,
+                          init_virtual, final_virtual, bcast_sel, bcast_vec,
+                          leaky, enter_pad):
+    logz, alphas, cs = _blocked_core_scan(
+        obs_virtual, w_blocks, perm, perm_inv, init_pos, init_virtual,
+        final_virtual, bcast_sel, bcast_vec, leaky, enter_pad)
+    return logz, (obs_virtual, w_blocks, perm_inv, final_virtual,
+                  bcast_sel, bcast_vec, alphas, cs)
+
+
+def _blocked_core_vjp_bwd(leaky, enter_pad, res, gbar):
+    (obs_virtual, w_blocks, perm_inv, final_virtual, bcast_sel, bcast_vec,
+     alphas, cs) = res
+    b, t, v = obs_virtual.shape
+    c, nsrc, ndp = w_blocks.shape
+    r = enter_pad
+    ndpos = (ndp - nsrc) // r
+    gb = gbar.astype(jnp.float32)[:, None]
+    obs_tm = jnp.moveaxis(obs_virtual.astype(jnp.float32), 1, 0)  # [T,B,V]
+
+    def l_transpose(vv):
+        """u = L^T(v): adjoint of the beta->a block matmul, then the
+        perm/rsum/loop (+ bcast) assembly back to alpha slots."""
+        u = jnp.einsum("bcd,csd->bcs", vv.reshape(b, c, ndp), w_blocks,
+                       preferred_element_type=jnp.float32
+                       ).reshape(b, c * nsrc)
+        if bcast_sel is not None:
+            u = u + jnp.matmul(
+                jnp.matmul(vv, bcast_vec.T,
+                           preferred_element_type=jnp.float32),
+                bcast_sel.T, preferred_element_type=jnp.float32)
+        up = jnp.concatenate([u, jnp.zeros_like(u[:, :1])], axis=-1)
+        gbd = up[:, perm_inv].reshape(b, c, ndpos)
+        ent = jnp.broadcast_to(gbd[:, :, None, :], (b, c, r, ndpos)
+                               ).reshape(b, c, r * ndpos)
+        lop = u.reshape(b, c, nsrc)
+        return jnp.concatenate([ent, lop], axis=-1).reshape(b, v)
+
+    alpha_last = alphas[-1]
+    zfin = jnp.maximum(jnp.sum(alpha_last * final_virtual[None, :], axis=-1,
+                               keepdims=True), _TINY)
+    g = gb * final_virtual[None, :] / zfin
+    bar = g - jnp.sum(g * alpha_last, axis=-1, keepdims=True) + gb
+    grad_last = alpha_last * bar
+    vcar = (bar / cs[-1][:, None]) * obs_tm[-1]
+
+    def bstep(vc, inp):
+        alpha_t, obs_t, c_t = inp
+        gg = l_transpose(vc)
+        bar_t = gg - jnp.sum(gg * alpha_t, axis=-1, keepdims=True) + gb
+        return (bar_t / c_t[:, None]) * obs_t, alpha_t * bar_t
+
+    _, grads_rest = jax.lax.scan(
+        bstep, vcar, (alphas[:-1], obs_tm[:-1], cs[:-1]), reverse=True)
+    grad_log = jnp.moveaxis(
+        jnp.concatenate([grads_rest, grad_last[None]], axis=0), 0, 1)
+    g_obs = (grad_log / jnp.maximum(obs_tm.transpose(1, 0, 2), 1e-30)
+             ).astype(obs_virtual.dtype)
+    return (g_obs, None, None, None, None, None, None, None, None)
+
+
+_blocked_score_core.defvjp(_blocked_core_vjp_fwd, _blocked_core_vjp_bwd)
+
+
 @partial(jax.jit, static_argnames=("leaky_coef_static", "enter_pad",
                                    "obs_bf16"))
 def _forward_score_blocked_impl(obs_logprob, w_blocks, perm, perm_inv,
@@ -738,39 +878,11 @@ def _forward_score_blocked_impl(obs_logprob, w_blocks, perm, perm_inv,
     if obs_bf16:
         obs_exp = obs_exp.astype(jnp.bfloat16)
     obs_virtual = jnp.take(obs_exp, pdf_virtual, axis=-1)  # [B,T,V]
-
-    a0 = init_virtual[None, :] * obs_virtual[:, 0]
-    c0 = jnp.maximum(jnp.sum(a0, axis=-1), _TINY)
-    alpha0 = a0 / c0[:, None]
-
-    obs_rest = jnp.moveaxis(obs_virtual[:, 1:], 1, 0)  # [T-1, B, V]
-
-    def step(alpha, obs_t):
-        a3 = alpha.reshape(b, c, ndp)
-        # r-major enter runs: sum R contiguous ndpos-wide slices
-        beta_dst = a3[:, :, : r * ndpos].reshape(b, c, r, ndpos).sum(2)
-        beta_dst = beta_dst.reshape(b, c * ndpos)
-        a_loop = a3[:, :, r * ndpos:].reshape(b, c * nsrc)
-        beta = _perm_gather(beta_dst, perm, perm_inv) + a_loop
-        if leaky_coef_static > 0.0:
-            beta = beta + leaky_coef_static * init_pos[None, :]
-        a = jnp.einsum(
-            "bcs,csd->bcd", beta.reshape(b, c, nsrc), w_blocks,
-            preferred_element_type=jnp.float32).reshape(b, v)
-        if bcast_sel is not None:
-            wm = jnp.matmul(beta, bcast_sel,
-                            preferred_element_type=jnp.float32)  # [B, R]
-            a = a + jnp.matmul(wm, bcast_vec,
-                               preferred_element_type=jnp.float32)
-        a = a * obs_t
-        cnorm = jnp.maximum(jnp.sum(a, axis=-1), _TINY)
-        return a / cnorm[:, None], jnp.log(cnorm)
-
-    alpha_last, logcs = jax.lax.scan(step, alpha0, obs_rest)
-    log_final = jnp.log(jnp.maximum(
-        jnp.sum(alpha_last * final_virtual[None, :], axis=-1), _TINY))
-    return jnp.log(c0) + jnp.sum(logcs, axis=0) + log_final + jnp.sum(
-        mx[:, :, 0], axis=1)
+    logz = _blocked_score_core(
+        obs_virtual, w_blocks, perm, perm_inv, init_pos, init_virtual,
+        final_virtual, bcast_sel, bcast_vec, float(leaky_coef_static),
+        int(enter_pad))
+    return logz + jnp.sum(mx[:, :, 0], axis=1)
 
 
 def forward_score_blocked_pallas(
