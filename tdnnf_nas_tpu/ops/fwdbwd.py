@@ -828,26 +828,33 @@ def _blocked_core_vjp_bwd(leaky, enter_pad, res, gbar):
         lop = u.reshape(b, c, nsrc)
         return jnp.concatenate([ent, lop], axis=-1).reshape(b, v)
 
+    out_dt = obs_virtual.dtype
+
+    def g_obs_frame(alpha_t, bar_t, obs_t):
+        # prob-space obs gradient, divided per frame inside the scan (one
+        # fused pass; a post-scan [T,B,V] division costs a full extra
+        # read+write of the gradient tensor)
+        return (alpha_t * bar_t / jnp.maximum(obs_t, 1e-30)).astype(out_dt)
+
     alpha_last = alphas[-1]
     zfin = jnp.maximum(jnp.sum(alpha_last * final_virtual[None, :], axis=-1,
                                keepdims=True), _TINY)
     g = gb * final_virtual[None, :] / zfin
     bar = g - jnp.sum(g * alpha_last, axis=-1, keepdims=True) + gb
-    grad_last = alpha_last * bar
+    grad_last = g_obs_frame(alpha_last, bar, obs_tm[-1])
     vcar = (bar / cs[-1][:, None]) * obs_tm[-1]
 
     def bstep(vc, inp):
         alpha_t, obs_t, c_t = inp
         gg = l_transpose(vc)
         bar_t = gg - jnp.sum(gg * alpha_t, axis=-1, keepdims=True) + gb
-        return (bar_t / c_t[:, None]) * obs_t, alpha_t * bar_t
+        return ((bar_t / c_t[:, None]) * obs_t,
+                g_obs_frame(alpha_t, bar_t, obs_t))
 
     _, grads_rest = jax.lax.scan(
         bstep, vcar, (alphas[:-1], obs_tm[:-1], cs[:-1]), reverse=True)
-    grad_log = jnp.moveaxis(
+    g_obs = jnp.moveaxis(
         jnp.concatenate([grads_rest, grad_last[None]], axis=0), 0, 1)
-    g_obs = (grad_log / jnp.maximum(obs_tm.transpose(1, 0, 2), 1e-30)
-             ).astype(obs_virtual.dtype)
     return (g_obs, None, None, None, None, None, None, None, None)
 
 
