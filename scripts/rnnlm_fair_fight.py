@@ -165,11 +165,29 @@ def main():
     lm_held = lm_all[::40][:512]  # held-out slice for early stopping
     held_set = set(map(tuple, map(tuple, (map(int, s) for s in lm_held))))
     lm_train = [s for s in lm_all if tuple(map(int, s)) not in held_set]
-    rnn_params, ppl = train_rnnlm(lm_train, rl_cfg, num_steps=n_steps,
-                                  batch_size=64, lr=2e-3, lr_final=1e-4,
-                                  seed=0, heldout=lm_held, eval_every=3000)
-    print(f"[rnnlm] trained {n_steps} steps, best held-out ppl {ppl:.1f} "
-          f"({time.time() - t0:.0f}s)", flush=True)
+    # params cache: lets a re-measure of the rescoring stages (interp
+    # sweep, lattice timing) skip the ~15 min retrain — keyed on corpus
+    # variant + step budget + text size
+    rnn_cache = os.path.join(
+        os.path.dirname(nb_cache),
+        f"rnnlm_params_{'tsucc' if flag.TOPIC_SUCC else 'base'}"
+        f"_{n_steps}_{len(lm_train)}.pkl")
+    if os.path.exists(rnn_cache):
+        with open(rnn_cache, "rb") as f:
+            rnn_params, ppl = pickle.load(f)
+        print(f"[rnnlm] params restored from {rnn_cache} (ppl {ppl:.1f})",
+              flush=True)
+    else:
+        rnn_params, ppl = train_rnnlm(lm_train, rl_cfg, num_steps=n_steps,
+                                      batch_size=64, lr=2e-3, lr_final=1e-4,
+                                      seed=0, heldout=lm_held,
+                                      eval_every=3000)
+        print(f"[rnnlm] trained {n_steps} steps, best held-out ppl "
+              f"{ppl:.1f} ({time.time() - t0:.0f}s)", flush=True)
+        import jax as _jax
+
+        with open(rnn_cache, "wb") as f:
+            pickle.dump((_jax.tree.map(np.asarray, rnn_params), ppl), f)
     scorer = RnnLMScorer(rl_cfg, rnn_params)
 
     # ppl diagnostic on TRUE held-out text (the test utterances' word

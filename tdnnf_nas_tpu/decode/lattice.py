@@ -579,6 +579,34 @@ def rescore_lattices_rnnlm(
                 -(max(old_lm.order - 1, 1)):]
         return hist[-1] if hist else -1
 
+    # host-side memoization: the per-expansion python n-gram backoff
+    # lookups are the dominant host cost of the frontier-batched rescorer
+    # (the device calls are already one per level); contexts and
+    # (context, word) pairs repeat heavily across hypotheses and lattices
+    _prev_cache: Dict[tuple, tuple] = {}
+    _lp_cache: Dict[tuple, float] = {}
+    _fin_cache: Dict[tuple, float] = {}
+
+    def old_prev_c(hist):
+        v = _prev_cache.get(hist)
+        if v is None:
+            v = _prev_cache[hist] = old_prev(hist)
+        return v
+
+    def old_lp_c(prev, wd):
+        k = (prev, wd)
+        v = _lp_cache.get(k)
+        if v is None:
+            v = _lp_cache[k] = _old_lm_logprob(old_lm, prev, wd,
+                                               word_to_token)
+        return v
+
+    def old_fin_c(prev):
+        v = _fin_cache.get(prev)
+        if v is None:
+            v = _fin_cache[prev] = _old_lm_final(old_lm, prev, word_to_token)
+        return v
+
     # ---- per-lattice longest-path levels + adjacency ----
     # Native lattices can carry SPARSE node ids (num_nodes >> active
     # nodes), so everything here touches only nodes that appear on arcs:
@@ -690,7 +718,7 @@ def rescore_lattices_rnnlm(
         pool.append((h2, c2, px2))
         for i, (li, d, base, hist, sc, words, kind) in enumerate(exp_meta):
             if kind == "f":
-                lp_old = _old_lm_final(old_lm, old_prev(hist), word_to_token)
+                lp_old = old_fin_c(old_prev_c(hist))
                 nsc = (sc + base - lp_old
                        + lm_scale * mix(float(lp_eos[i]), lp_old))
                 dd = states[li].setdefault(d, {})
@@ -699,8 +727,7 @@ def rescore_lattices_rnnlm(
                     dd[hist] = (nsc, words, exp_refs[i])
                 continue
             wd = exp_words[i]
-            lp_old = _old_lm_logprob(old_lm, old_prev(hist), wd,
-                                     word_to_token)
+            lp_old = old_lp_c(old_prev_c(hist), wd)
             nsc = sc + base + lm_scale * mix(float(lp_w[i]), lp_old) - lp_old
             nhist = (hist + (wd,))[-hist_len:]
             dd = states[li].setdefault(d, {})
